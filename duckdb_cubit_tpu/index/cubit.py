@@ -1,0 +1,174 @@
+"""CUBIT: a concurrently-updatable segmented bitmap index, TPU-native.
+
+Capability parity with the CUBIT design (arXiv 2410.16929) that the reference
+fork integrates at the index-scan hook (reference
+src/function/table/table_scan.cpp:296-370): per-value (or binned) bitvectors,
+predicate evaluation by segment-wise bitwise AND/OR, bitvector→row-id decode,
+and update support via delta bitvectors merged lazily.
+
+TPU re-architecture:
+ - bitvectors live in HBM as `uint32[n_bins, n_words]` device arrays; AND/OR
+   run as single fused XLA element-wise passes (HBM-bandwidth bound, reading
+   N/8 bytes per predicate instead of 4-8 bytes *per row* for a raw column
+   compare — the index's entire value proposition on TPU);
+ - multi-version concurrency becomes epoch-based snapshots: updates buffer
+   host-side, `merge()` publishes a new immutable words array via one
+   scatter-XOR pass (old readers keep the old epoch's array — functional
+   arrays give MVCC for free);
+ - the update delta is itself a pair of disjoint bit-scatters, so merge is
+   deterministic and order-independent.
+
+Binning:
+ - dictionary/low-cardinality columns: bin == value code (exact);
+ - numeric/date columns: explicit sorted bin edges; a range predicate whose
+   endpoints land on edges is answered exactly, otherwise the two boundary
+   bins are refined against the base column (`refine` path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bitmap as bm
+
+
+@dataclasses.dataclass
+class RangeQueryResult:
+    words: jnp.ndarray  # candidate bitvector (exact if refine_bins empty)
+    exact: bool
+    refine_bins: list  # [(bin_lo, bin_hi)] boundary bins needing base compare
+
+
+class CubitIndex:
+    """Bitmap index over one column of a Table."""
+
+    def __init__(self, name: str, capacity: int, n_bins: int,
+                 bin_edges: np.ndarray | None = None):
+        self.name = name
+        self.capacity = capacity
+        self.n_words = bm.num_words(capacity)
+        self.n_bins = n_bins
+        # For edge-binned indexes, bin b covers values in [edges[b], edges[b+1]).
+        self.bin_edges = bin_edges
+        self.epoch = 0
+        self.words: jnp.ndarray | None = None  # (n_bins, n_words) uint32
+        self._pending: list[tuple[int, int, int]] = []  # (row, old_bin, new_bin)
+
+    # ------------------------------------------------------------- building
+    def bin_of(self, values: np.ndarray) -> np.ndarray:
+        if self.bin_edges is None:
+            return values
+        return np.searchsorted(self.bin_edges, values, side="right") - 1
+
+    @classmethod
+    def build(cls, name: str, values_or_codes, capacity: int, num_rows: int,
+              n_bins: int, bin_edges: np.ndarray | None = None) -> "CubitIndex":
+        idx = cls(name, capacity, n_bins, bin_edges)
+        codes = idx.bin_of(np.asarray(values_or_codes)) if bin_edges is not None \
+            else values_or_codes
+        codes_dev = jnp.asarray(np.asarray(codes, dtype=np.int32))
+        if codes_dev.shape[0] < capacity:
+            codes_dev = jnp.pad(codes_dev, (0, capacity - codes_dev.shape[0]))
+        valid = jnp.arange(capacity) < num_rows
+        idx.words = bm.build_bitmaps(codes_dev, valid, n_bins, idx.n_words)
+        return idx
+
+    # -------------------------------------------------------------- queries
+    def query_eq(self, value) -> jnp.ndarray:
+        b = int(self.bin_of(np.asarray([value]))[0]) if self.bin_edges is not None else int(value)
+        return self.words[b]
+
+    def query_isin(self, bins: list[int]) -> jnp.ndarray:
+        # disjoint bins: OR == sum
+        sel = self.words[jnp.asarray(sorted(bins), dtype=jnp.int32)]
+        return jnp.sum(sel, axis=0, dtype=jnp.uint32)
+
+    def query_range(self, lo=None, hi=None, lo_inclusive=True,
+                    hi_inclusive=True) -> RangeQueryResult:
+        """Candidate bitvector for value in [lo, hi] (None = unbounded).
+
+        Exact when bin boundaries align with the predicate endpoints (always
+        true for identity-binned columns on integer values).
+        """
+        if self.bin_edges is None:
+            blo = 0 if lo is None else int(lo) + (0 if lo_inclusive else 1)
+            bhi = self.n_bins - 1 if hi is None else int(hi) - (0 if hi_inclusive else 1)
+            blo = max(blo, 0)
+            bhi = min(bhi, self.n_bins - 1)
+            return RangeQueryResult(bm.or_range(self.words, blo, bhi), True, [])
+        edges = self.bin_edges
+        refine = []
+        if lo is None:
+            blo = 0
+        else:
+            lo_eff = lo if lo_inclusive else lo + 1
+            blo = int(np.searchsorted(edges, lo_eff, side="right") - 1)
+            blo = max(blo, 0)
+            if edges[blo] != lo_eff:
+                refine.append(("lo", blo))
+        if hi is None:
+            bhi = self.n_bins - 1
+        else:
+            hi_eff = hi if hi_inclusive else hi - 1
+            bhi = int(np.searchsorted(edges, hi_eff, side="right") - 1)
+            bhi = min(bhi, self.n_bins - 1)
+            if bhi + 1 < len(edges) and edges[bhi + 1] != hi_eff + 1:
+                refine.append(("hi", bhi))
+        words = bm.or_range(self.words, blo, bhi)
+        return RangeQueryResult(words, not refine, refine)
+
+    def count(self, words: jnp.ndarray) -> int:
+        return int(bm.popcount(words))
+
+    # -------------------------------------------------------------- updates
+    def update(self, row: int, old_value, new_value):
+        """Buffer a value change for `row` (CUBIT UpdateConscious delta)."""
+        ob = int(self.bin_of(np.asarray([old_value]))[0]) if self.bin_edges is not None else int(old_value)
+        nb = int(self.bin_of(np.asarray([new_value]))[0]) if self.bin_edges is not None else int(new_value)
+        self._pending.append((row, ob, nb))
+
+    def delete(self, row: int, old_value):
+        ob = int(self.bin_of(np.asarray([old_value]))[0]) if self.bin_edges is not None else int(old_value)
+        self._pending.append((row, ob, -1))
+
+    def insert(self, row: int, new_value):
+        nb = int(self.bin_of(np.asarray([new_value]))[0]) if self.bin_edges is not None else int(new_value)
+        self._pending.append((row, -1, nb))
+
+    @property
+    def pending_updates(self) -> int:
+        return len(self._pending)
+
+    def merge(self):
+        """Publish a new epoch with all buffered deltas applied.
+
+        One scatter-XOR pass: clearing the old bin's bit and setting the new
+        bin's bit are both XOR-with-bit because the bit is known set/unset.
+        Functional update — readers of the previous epoch's array see a
+        consistent snapshot (the MVCC analog of CUBIT's versioned deltas).
+        """
+        if not self._pending:
+            return self.epoch
+        rows = np.array([p[0] for p in self._pending], dtype=np.int64)
+        olds = np.array([p[1] for p in self._pending], dtype=np.int64)
+        news = np.array([p[2] for p in self._pending], dtype=np.int64)
+        word = rows >> 5
+        bit = (np.uint32(1) << (rows & 31).astype(np.uint32))
+        flat_dim = self.n_bins * self.n_words
+        # Accumulate the flip-set host-side (delta batches are small relative
+        # to the base bitmaps), then apply with one device-wide XOR pass.
+        delta_np = np.zeros(flat_dim, np.uint32)
+        for bins in (olds, news):
+            live = bins >= 0
+            if live.any():
+                np.bitwise_xor.at(
+                    delta_np, bins[live] * self.n_words + word[live], bit[live])
+        self.words = jnp.bitwise_xor(
+            self.words.reshape(-1), jnp.asarray(delta_np)
+        ).reshape(self.n_bins, self.n_words)
+        self._pending.clear()
+        self.epoch += 1
+        return self.epoch

@@ -1,0 +1,209 @@
+"""Hash join kernels: vectorized open-addressing build + probe.
+
+Analog of the reference's JoinHashTable (reference
+src/execution/join_hashtable.cpp): the reference builds a pointer table of
+atomic (salt | 48-bit pointer) entries with CAS inserts (:559-668) and probes
+with salt-prefiltered linear chains (:206-316).  XLA has no CAS, so the TPU
+design replaces racy inserts with deterministic whole-column passes:
+
+ 1. the build side is sorted by key (lax.sort), giving contiguous runs per
+    key: a CSR of (unique key -> start, count) into the sorted row order —
+    this subsumes the reference's in-row next-pointer chains;
+ 2. unique keys are inserted into a power-of-two open-addressing table with
+    iterative scatter-min claim rounds (each round every still-unplaced key
+    attempts its current slot; ties resolved by min row index, losers advance
+    — deterministic, data-parallel, terminates in O(max probe len) rounds);
+ 3. probes walk the table with a vectorized linear-probe while_loop, then
+    either gather the single match (PK-FK fast path) or expand variable
+    match counts through prefix sums + jnp.repeat with a static capacity.
+
+All shapes are static; "not found" is index -1 and callers carry validity
+masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import hash64
+
+KEY_SENTINEL = jnp.int64(-(2**62))  # never a real key (TPC-H keys positive)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclasses.dataclass
+class BuildSide:
+    """Device state of a finalized build side."""
+    ht_keys: jnp.ndarray      # (size,) int64, KEY_SENTINEL = empty
+    ht_entry: jnp.ndarray     # (size,) int32 -> index into unique arrays
+    starts: jnp.ndarray       # (ucap,) int32 offset into sorted_rows
+    counts: jnp.ndarray       # (ucap,) int32 run length
+    sorted_rows: jnp.ndarray  # (cap,) int32 build row ids grouped by key
+    size: int
+    unique_capacity: int
+
+
+@functools.partial(jax.jit, static_argnames=("size", "ucap"))
+def _build_kernel(keys: jnp.ndarray, valid: jnp.ndarray, size: int, ucap: int):
+    n = keys.shape[0]
+    skeys = jnp.where(valid, keys.astype(jnp.int64), KEY_SENTINEL * -1)  # big
+    rows = jnp.arange(n, dtype=jnp.int32)
+    sk, srows = jax.lax.sort((skeys, rows), num_keys=1)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), sk[1:] != sk[:-1]])
+    svalid = sk != KEY_SENTINEL * -1
+    first = first & svalid
+    # dense unique ids along sorted order
+    uid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_unique = uid[-1] + 1  # device scalar
+    uid = jnp.where(svalid, uid, ucap - 1)
+    # unique key / CSR arrays
+    ukeys = jnp.full(ucap, KEY_SENTINEL, jnp.int64).at[uid].set(
+        jnp.where(svalid, sk, KEY_SENTINEL))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.full(ucap, n, jnp.int32).at[uid].min(
+        jnp.where(svalid, pos, jnp.int32(n)))
+    counts = jnp.zeros(ucap, jnp.int32).at[uid].add(
+        svalid.astype(jnp.int32))
+    # open addressing insert of unique keys
+    mask = jnp.uint64(size - 1)
+    uvalid = ukeys != KEY_SENTINEL
+    slot0 = (hash64(ukeys) & mask).astype(jnp.int32)
+    uidx = jnp.arange(ucap, dtype=jnp.int32)
+
+    def cond(state):
+        _, _, placed, _ = state
+        return jnp.any(~placed)
+
+    def body(state):
+        ht_keys, ht_entry, placed, offset = state
+        slot = ((slot0 + offset) & jnp.int32(size - 1)).astype(jnp.int32)
+        attempt = jnp.where(placed, jnp.int32(size), slot)  # dummy slot
+        # claim: lowest unique-id wins each contested empty slot this round
+        claims = jnp.full(size + 1, jnp.int32(ucap)).at[attempt].min(uidx)
+        slot_empty = ht_keys[jnp.minimum(slot, size - 1)] == KEY_SENTINEL
+        won = (~placed) & slot_empty & (claims[slot] == uidx)
+        wslot = jnp.where(won, slot, jnp.int32(size))
+        ht_keys = jnp.concatenate([ht_keys, jnp.full(1, KEY_SENTINEL)]) \
+            .at[wslot].set(jnp.where(won, ukeys, KEY_SENTINEL))[:size]
+        ht_entry = jnp.concatenate([ht_entry, jnp.zeros(1, jnp.int32)]) \
+            .at[wslot].set(uidx)[:size]
+        placed = placed | won
+        offset = jnp.where(placed, offset, offset + 1)
+        return ht_keys, ht_entry, placed, offset
+
+    ht_keys0 = jnp.full(size, KEY_SENTINEL, jnp.int64)
+    ht_entry0 = jnp.zeros(size, jnp.int32)
+    placed0 = ~uvalid
+    offset0 = jnp.zeros(ucap, jnp.int32)
+    ht_keys, ht_entry, _, _ = jax.lax.while_loop(
+        cond, body, (ht_keys0, ht_entry0, placed0, offset0))
+    return ht_keys, ht_entry, starts, counts, srows, n_unique
+
+
+def build(keys: jnp.ndarray, valid: jnp.ndarray, num_rows_hint: int | None = None,
+          load_factor: float = 0.5) -> BuildSide:
+    n = keys.shape[0]
+    size = _next_pow2(max(16, int((num_rows_hint or n) / load_factor)))
+    ucap = n
+    ht_keys, ht_entry, starts, counts, srows, _ = _build_kernel(
+        keys, valid, size, ucap)
+    return BuildSide(ht_keys, ht_entry, starts, counts, srows, size, ucap)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _probe_kernel(ht_keys, ht_entry, probe_keys, probe_valid, size: int):
+    pk = jnp.where(probe_valid, probe_keys.astype(jnp.int64), KEY_SENTINEL)
+    mask = jnp.uint64(size - 1)
+    slot = (hash64(pk) & mask).astype(jnp.int32)
+    found = jnp.full(pk.shape, -1, jnp.int32)
+    done = ~probe_valid
+
+    def cond(state):
+        _, _, done = state
+        return jnp.any(~done)
+
+    def body(state):
+        slot, found, done = state
+        entry_key = ht_keys[slot]
+        hit = (~done) & (entry_key == pk)
+        empty = entry_key == KEY_SENTINEL
+        found = jnp.where(hit, ht_entry[slot], found)
+        done = done | hit | empty
+        slot = jnp.where(done, slot, (slot + 1) & jnp.int32(size - 1))
+        return slot, found, done
+
+    _, found, _ = jax.lax.while_loop(cond, body, (slot, found, done))
+    return found  # index into unique arrays, -1 = miss
+
+
+def probe(bs: BuildSide, probe_keys: jnp.ndarray, probe_valid: jnp.ndarray):
+    """-> (unique-entry index per probe row, -1 on miss)."""
+    return _probe_kernel(bs.ht_keys, bs.ht_entry, probe_keys, probe_valid,
+                         bs.size)
+
+
+def probe_single(bs: BuildSide, probe_keys, probe_valid):
+    """PK-FK fast path: -> (build row id per probe row, found mask).
+
+    Valid when build keys are unique (counts == 1), the common TPC-H case.
+    """
+    entry = probe(bs, probe_keys, probe_valid)
+    found = entry >= 0
+    safe = jnp.maximum(entry, 0)
+    build_row = jnp.where(found, bs.sorted_rows[bs.starts[safe]], -1)
+    return build_row, found
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
+def expand_matches(starts, counts, sorted_rows, entry, probe_valid,
+                   out_capacity: int):
+    """General inner-join expansion with variable match counts.
+
+    -> (probe_row_idx[out_capacity], build_row_idx[out_capacity], out_count)
+    Rows beyond out_count are padding (probe_row_idx == -1).
+    """
+    found = (entry >= 0) & probe_valid
+    safe = jnp.maximum(entry, 0)
+    cnt = jnp.where(found, counts[safe], 0)
+    offs = jnp.cumsum(cnt) - cnt  # exclusive prefix
+    total = jnp.sum(cnt)
+    n = entry.shape[0]
+    probe_rows = jnp.arange(n, dtype=jnp.int32)
+    out_probe = jnp.full(out_capacity, -1, jnp.int32)
+    # scatter run starts, then segment-relative offsets via cummax trick
+    first_pos = jnp.where(found & (cnt > 0), offs, out_capacity)
+    out_probe = out_probe.at[first_pos].set(
+        jnp.where(found, probe_rows, -1), mode="drop")
+    # fill runs: forward-fill the last set value
+    filled = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b < 0, a, b), out_probe)
+    valid_out = jnp.arange(out_capacity) < total
+    out_probe = jnp.where(valid_out, filled, -1)
+    # per-output offset within its run
+    run_start_pos = jnp.zeros(out_capacity, jnp.int32).at[first_pos].set(
+        first_pos.astype(jnp.int32), mode="drop")
+    run_start_filled = jax.lax.associative_scan(jnp.maximum, run_start_pos)
+    within = jnp.arange(out_capacity, dtype=jnp.int32) - run_start_filled
+    safe_probe = jnp.maximum(out_probe, 0)
+    bstart = starts[jnp.maximum(entry[safe_probe], 0)]
+    out_build = jnp.where(valid_out, sorted_rows[
+        jnp.minimum(bstart + within, sorted_rows.shape[0] - 1)], -1)
+    return out_probe, out_build, total
+
+
+def semi_mask(bs: BuildSide, probe_keys, probe_valid, anti: bool = False):
+    entry = probe(bs, probe_keys, probe_valid)
+    found = entry >= 0
+    m = ~found if anti else found
+    return m & probe_valid

@@ -1,0 +1,120 @@
+"""Low-level device kernels shared by the operator library.
+
+These are the engine's analogs of the reference's VectorOperations /
+row_operations primitives (reference src/common/vector_operations/,
+vector_hash.cpp): hashing, masked reductions, and exact (overflow-proof)
+grouped sums.
+
+Exactness note: DECIMAL aggregates must be exact at SF100 where a single
+group's sum of scale-6 values exceeds int64.  Every int64 sum is therefore
+computed as a split (hi, lo) pair — lo sums the low 32 bits, hi the
+arithmetically-shifted high 32 bits — and recombined host-side as Python
+bigints: (hi << 32) + lo.  Each part stays far below 2**63 for any
+realistic row count (~2**31 rows x 2**32 max magnitude), the split sum is
+order-independent integer arithmetic, and the recombination is exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ----------------------------------------------------------------- hashing
+
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash64(keys: jnp.ndarray) -> jnp.ndarray:
+    """64-bit avalanche hash (splitmix64 finalizer) of an int key column.
+
+    Analog of reference VectorOperations::Hash (vector_hash.cpp); used for
+    hash-table slots and radix partitioning, so it must mix low bits well.
+    """
+    x = keys.astype(jnp.uint64)
+    x = x + _GOLDEN64
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hash_combine(h: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarray:
+    """Combine hashes of multiple key columns."""
+    return hash64(h ^ (other + _GOLDEN64 + (h << np.uint64(6)) + (h >> np.uint64(2))))
+
+
+# ------------------------------------------------------------- exact sums
+
+
+def _split_hi_lo(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    lo = values & jnp.int64(0xFFFFFFFF)  # [0, 2**32)
+    hi = values >> jnp.int64(32)  # arithmetic shift keeps sign
+    return hi, lo
+
+
+def masked_sum_exact(values: jnp.ndarray, mask: jnp.ndarray):
+    """Exact masked int64 sum -> (hi, lo) device scalars."""
+    hi, lo = _split_hi_lo(jnp.where(mask, values, jnp.int64(0)))
+    return jnp.sum(hi), jnp.sum(lo)
+
+
+def combine_hi_lo(hi, lo) -> int:
+    """Host-side exact recombination of a split sum."""
+    return (int(hi) << 32) + int(lo)
+
+
+def group_sum_exact(codes: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray,
+                    num_groups: int):
+    """Exact grouped int64 sum via scatter-add -> (hi, lo) arrays.
+
+    Integer scatter-add is order-independent, so this is deterministic on any
+    backend.  `codes` must be in [0, num_groups); masked-out rows are routed
+    to group 0 with value 0.
+    """
+    safe_codes = jnp.where(mask, codes, 0)
+    hi, lo = _split_hi_lo(jnp.where(mask, values, jnp.int64(0)))
+    ghi = jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(hi)
+    glo = jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(lo)
+    return ghi, glo
+
+
+def group_count(codes: jnp.ndarray, mask: jnp.ndarray, num_groups: int):
+    safe_codes = jnp.where(mask, codes, 0)
+    ones = jnp.where(mask, jnp.int64(1), jnp.int64(0))
+    return jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(ones)
+
+
+def group_min(codes, values, mask, num_groups, sentinel):
+    safe_codes = jnp.where(mask, codes, 0)
+    vals = jnp.where(mask, values, sentinel)
+    return jnp.full(num_groups, sentinel, values.dtype).at[safe_codes].min(vals)
+
+
+def group_max(codes, values, mask, num_groups, sentinel):
+    safe_codes = jnp.where(mask, codes, 0)
+    vals = jnp.where(mask, values, sentinel)
+    return jnp.full(num_groups, sentinel, values.dtype).at[safe_codes].max(vals)
+
+
+# ------------------------------------------------------------- compaction
+
+
+def mask_to_indices(mask: jnp.ndarray, capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Selection-vector materialization: row ids of set mask bits.
+
+    Returns (indices[capacity], count); padding slots hold len(mask) (an
+    out-of-range sentinel).  This is the analog of the reference's
+    sel-vector production in filter kernels (column_segment.cpp:262) and of
+    the CUBIT bitvector->rowid decode.
+    """
+    (idx,) = jnp.nonzero(mask, size=capacity, fill_value=mask.shape[0])
+    return idx, jnp.sum(mask.astype(jnp.int64))
+
+
+def gather_columns(arrays: dict, indices: jnp.ndarray) -> dict:
+    """Probe columns through a selection vector (clipped; caller keeps count)."""
+    out = {}
+    for name, arr in arrays.items():
+        out[name] = jnp.take(arr, jnp.minimum(indices, arr.shape[0] - 1), axis=0)
+    return out

@@ -1,0 +1,167 @@
+"""Columnar device tables.
+
+A Table is the TPU analog of the reference's DataTable/RowGroupCollection
+(reference src/storage/data_table.cpp, row_group.cpp): one padded, fixed-shape
+device array per column plus host-side metadata.  Instead of 122880-row row
+groups handed to threads, rows live in one (or, sharded, per-device) dense
+array; zone-map statistics are kept per fixed-size block for scan pruning and
+statistics propagation (analog of reference CheckZonemapSegments,
+row_group.cpp:407).
+
+Strings are dictionary-encoded at ingest with a *sorted* dictionary (codes
+preserve lexicographic order), so string predicates execute on device as int32
+comparisons; the raw bytes stay host-side for LIKE evaluation and result
+rendering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import (BOOL, CHAR1, DATE, DOUBLE, INT32, INT64, VARCHAR,
+                     DataType, TypeId)
+
+# rows per zone-map block (power of two; host-side statistics granularity)
+ZONE_BLOCK = 1 << 16
+# device arrays are padded to a multiple of this so shape buckets stay few
+ROW_PAD = 1 << 13
+
+
+def pad_count(n: int, pad: int = ROW_PAD) -> int:
+    return max(pad, (n + pad - 1) // pad * pad)
+
+
+@dataclasses.dataclass
+class ZoneMap:
+    mins: np.ndarray  # (n_blocks,)
+    maxs: np.ndarray
+
+
+@dataclasses.dataclass
+class Column:
+    name: str
+    dtype: DataType
+    data: jnp.ndarray  # padded device array
+    dictionary: np.ndarray | None = None  # sorted |S bytes, host (VARCHAR)
+    zone_map: ZoneMap | None = None
+
+    @property
+    def dict_size(self) -> int:
+        return 0 if self.dictionary is None else len(self.dictionary)
+
+    def decode_strings(self, codes: np.ndarray) -> np.ndarray:
+        assert self.dictionary is not None
+        return self.dictionary[codes]
+
+
+def _build_zone_map(values: np.ndarray, num_rows: int) -> ZoneMap:
+    n_blocks = max(1, (num_rows + ZONE_BLOCK - 1) // ZONE_BLOCK)
+    mins = np.empty(n_blocks, dtype=values.dtype)
+    maxs = np.empty(n_blocks, dtype=values.dtype)
+    for b in range(n_blocks):
+        part = values[b * ZONE_BLOCK : min((b + 1) * ZONE_BLOCK, num_rows)]
+        mins[b] = part.min()
+        maxs[b] = part.max()
+    return ZoneMap(mins, maxs)
+
+
+def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-dictionary encode a |S numpy array -> (int32 codes, dictionary)."""
+    dictionary, codes = np.unique(values, return_inverse=True)
+    return codes.astype(np.int32), dictionary
+
+
+@dataclasses.dataclass
+class Table:
+    name: str
+    columns: dict[str, Column]
+    num_rows: int
+    capacity: int
+    indexes: dict = dataclasses.field(default_factory=dict)  # col -> CubitIndex
+
+    def column(self, name: str) -> Column:
+        return self.columns[name]
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self.columns.keys())
+
+    def row_mask(self) -> jnp.ndarray:
+        """Validity of the padded tail."""
+        return jnp.arange(self.capacity) < self.num_rows
+
+
+def from_numpy(
+    name: str,
+    data: dict[str, np.ndarray],
+    schema: dict[str, DataType] | None = None,
+    build_zone_maps: bool = True,
+) -> Table:
+    """Ingest host numpy columns into a device Table.
+
+    |S bytes columns become sorted-dictionary VARCHAR (or CHAR1 when the
+    producer already emits uint8 flags); numeric dtypes pass through.  The
+    padded tail is filled with each column's first value so padding rows never
+    widen zone maps or dictionaries (they are masked out of every operator).
+    """
+    num_rows = len(next(iter(data.values())))
+    capacity = pad_count(num_rows)
+    columns: dict[str, Column] = {}
+    for col_name, values in data.items():
+        assert len(values) == num_rows, f"ragged column {col_name}"
+        dictionary = None
+        if values.dtype.kind == "S":
+            codes, dictionary = encode_strings(values)
+            dev_np, dtype = codes, VARCHAR
+        elif values.dtype == np.uint8:
+            dev_np, dtype = values, CHAR1
+        elif values.dtype == np.int32:
+            dev_np = values
+            dtype = (schema or {}).get(col_name, INT32)
+        elif values.dtype == np.int64:
+            dev_np = values
+            dtype = (schema or {}).get(col_name, INT64)
+        elif values.dtype == np.float64:
+            dev_np, dtype = values, DOUBLE
+        elif values.dtype == np.bool_:
+            dev_np, dtype = values, BOOL
+        else:
+            raise TypeError(f"unsupported ingest dtype {values.dtype}")
+        if schema and col_name in schema:
+            dtype = schema[col_name]
+        padded = np.empty(capacity, dtype=dev_np.dtype)
+        padded[:num_rows] = dev_np
+        padded[num_rows:] = dev_np[0] if num_rows else 0
+        zone_map = None
+        if build_zone_maps and dtype.id in (
+            TypeId.INT32, TypeId.INT64, TypeId.DECIMAL, TypeId.DATE,
+            TypeId.VARCHAR, TypeId.CHAR1,
+        ):
+            zone_map = _build_zone_map(dev_np, num_rows) if num_rows else None
+        columns[col_name] = Column(
+            name=col_name,
+            dtype=dtype,
+            data=jnp.asarray(padded),
+            dictionary=dictionary,
+            zone_map=zone_map,
+        )
+    return Table(name=name, columns=columns, num_rows=num_rows, capacity=capacity)
+
+
+class Catalog:
+    """Name -> Table registry (analog of reference src/catalog/)."""
+
+    def __init__(self):
+        self.tables: dict[str, Table] = {}
+
+    def register(self, table: Table):
+        self.tables[table.name] = table
+
+    def table(self, name: str) -> Table:
+        return self.tables[name]
+
+    def drop(self, name: str):
+        self.tables.pop(name, None)

@@ -86,19 +86,18 @@ class CubitIndex:
         sel = self.words[jnp.asarray(sorted(bins), dtype=jnp.int32)]
         return jnp.sum(sel, axis=0, dtype=jnp.uint32)
 
-    def query_range(self, lo=None, hi=None, lo_inclusive=True,
-                    hi_inclusive=True) -> RangeQueryResult:
-        """Candidate bitvector for value in [lo, hi] (None = unbounded).
+    def range_bins(self, lo=None, hi=None, lo_inclusive=True,
+                   hi_inclusive=True):
+        """Host-only bin resolution: -> (blo, bhi, refine list).
 
-        Exact when bin boundaries align with the predicate endpoints (always
-        true for identity-binned columns on integer values).
+        Empty refine list means the bin range answers the predicate exactly
+        (bin boundaries align with the predicate endpoints — always true for
+        identity-binned integer columns).
         """
         if self.bin_edges is None:
             blo = 0 if lo is None else int(lo) + (0 if lo_inclusive else 1)
             bhi = self.n_bins - 1 if hi is None else int(hi) - (0 if hi_inclusive else 1)
-            blo = max(blo, 0)
-            bhi = min(bhi, self.n_bins - 1)
-            return RangeQueryResult(bm.or_range(self.words, blo, bhi), True, [])
+            return max(blo, 0), min(bhi, self.n_bins - 1), []
         edges = self.bin_edges
         refine = []
         if lo is None:
@@ -117,6 +116,12 @@ class CubitIndex:
             bhi = min(bhi, self.n_bins - 1)
             if bhi + 1 < len(edges) and edges[bhi + 1] != hi_eff + 1:
                 refine.append(("hi", bhi))
+        return blo, bhi, refine
+
+    def query_range(self, lo=None, hi=None, lo_inclusive=True,
+                    hi_inclusive=True) -> RangeQueryResult:
+        """Candidate bitvector for value in [lo, hi] (None = unbounded)."""
+        blo, bhi, refine = self.range_bins(lo, hi, lo_inclusive, hi_inclusive)
         words = bm.or_range(self.words, blo, bhi)
         return RangeQueryResult(words, not refine, refine)
 

@@ -1,0 +1,591 @@
+"""Physical operators.
+
+Analog of the reference's PhysicalOperator tree (reference
+src/execution/physical_plan_generator.cpp dispatching 61 logical operator
+types; operator interfaces in src/execution/operator/).  The TPU execution
+model replaces the source/operator/sink chunk protocol with whole-column
+dataflow: every operator consumes and produces a `Relation` — named device
+arrays plus a validity mask — and the executor decides pipeline boundaries.
+
+Dynamic cardinalities under static shapes: operators keep their input's
+capacity and narrow the mask (filter, PK-FK join) whenever possible; only
+operators that must re-shape rows (expansion joins, group-by outputs,
+compacting index scans) allocate a new capacity, chosen from host-visible
+bounds so compiled shapes stay in a small bucket set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bitmap as bm
+from ..ops import join as join_ops
+from ..ops import groupby as groupby_ops
+from ..ops import kernels
+from ..ops.expressions import ColMeta, EvalContext, Expr, Typed
+from ..storage.table import Column, Table, pad_count
+from ..types import (BOOL, CHAR1, DATE, DOUBLE, INT32, INT64, VARCHAR,
+                     DataType, TypeId)
+
+
+@dataclasses.dataclass
+class RelColumn:
+    array: jnp.ndarray
+    dtype: DataType
+    dictionary: np.ndarray | None = None
+
+
+@dataclasses.dataclass
+class Relation:
+    """A batch of named columns + validity mask (the inter-operator format)."""
+    columns: dict[str, RelColumn]
+    mask: jnp.ndarray
+    capacity: int
+
+    def eval_ctx(self) -> EvalContext:
+        arrays = {n: c.array for n, c in self.columns.items()}
+        meta = {n: ColMeta(c.dtype, c.dictionary) for n, c in self.columns.items()}
+        return EvalContext(arrays, meta)
+
+    def count(self) -> int:
+        return int(jnp.sum(self.mask))
+
+    def evaluate(self, expr: Expr) -> Typed:
+        return expr.eval(self.eval_ctx())
+
+    def with_mask(self, mask) -> "Relation":
+        return Relation(self.columns, mask, self.capacity)
+
+    def gather(self, indices: jnp.ndarray, valid: jnp.ndarray,
+               capacity: int) -> "Relation":
+        safe = jnp.clip(indices, 0, self.capacity - 1)
+        cols = {
+            n: RelColumn(jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary)
+            for n, c in self.columns.items()
+        }
+        return Relation(cols, valid, capacity)
+
+
+class ExecContext:
+    def __init__(self, catalog, config=None, profiler=None):
+        self.catalog = catalog
+        self.config = config
+        self.profiler = profiler
+        self._cache: dict[int, Relation] = {}
+
+
+class PhysicalOperator:
+    """Base physical operator; `children` gives the pipeline structure."""
+
+    name = "physical_op"
+
+    def __init__(self, children: Sequence["PhysicalOperator"] = ()):
+        self.children = list(children)
+
+    def execute(self, ctx: ExecContext) -> Relation:
+        key = id(self)
+        if key in ctx._cache:
+            return ctx._cache[key]
+        if ctx.profiler is not None:
+            with ctx.profiler.operator(self):
+                out = self._execute(ctx)
+                if ctx.profiler.measure_cardinality:
+                    out_count = out.count()
+                    ctx.profiler.record_cardinality(self, out_count)
+        else:
+            out = self._execute(ctx)
+        ctx._cache[key] = out
+        return out
+
+    def _execute(self, ctx: ExecContext) -> Relation:
+        raise NotImplementedError
+
+    # pipeline-breaker protocol (analog of reference MetaPipeline building:
+    # meta_pipeline.cpp:85 — build sides finish before probes run)
+    def is_pipeline_breaker(self) -> bool:
+        return False
+
+    def blocking_children(self) -> list["PhysicalOperator"]:
+        return []
+
+    def describe(self) -> str:
+        return self.name
+
+
+def relation_from_table(table: Table) -> Relation:
+    cols = {
+        n: RelColumn(c.data, c.dtype, c.dictionary)
+        for n, c in table.columns.items()
+    }
+    return Relation(cols, table.row_mask(), table.capacity)
+
+
+class TableScan(PhysicalOperator):
+    """Sequential/bitmap/index scan with pushed-down filters.
+
+    The analog of PhysicalTableScan + RowGroup::TemplatedScan (reference
+    physical_table_scan.cpp:82, row_group.cpp:448): pushed filters are
+    resolved against CUBIT indexes first (segment-wise AND of bin ORs — the
+    fork's index-scan hook, table_scan.cpp:296-370); residual predicates
+    evaluate as vectorized expressions ANDed into the mask.  When the index
+    count is below the decode threshold the scan compacts to row-ids and
+    gathers only the projected columns (the IndexScanFunction fetch path,
+    table_scan.cpp:251-273); otherwise it stays mask-based.
+    """
+
+    name = "table_scan"
+
+    def __init__(self, table_name: str, filters: Sequence[Expr] = (),
+                 projection: Sequence[str] | None = None,
+                 index_filters: Sequence[tuple] | None = None,
+                 decode_threshold: float = 0.001,
+                 decode_max_count: int = 1 << 20):
+        super().__init__()
+        self.table_name = table_name
+        self.filters = list(filters)
+        self.projection = list(projection) if projection is not None else None
+        # index_filters: [(column, kind, args)] resolved by the optimizer
+        self.index_filters = list(index_filters or [])
+        self.decode_threshold = decode_threshold
+        self.decode_max_count = decode_max_count
+
+    def _execute(self, ctx: ExecContext) -> Relation:
+        table = ctx.catalog.table(self.table_name)
+        rel = relation_from_table(table)
+        if self.projection is not None:
+            needed = set(self.projection)
+            for f in self.filters:
+                needed |= _expr_columns(f)
+            rel = Relation(
+                {n: c for n, c in rel.columns.items() if n in needed},
+                rel.mask, rel.capacity)
+        mask = rel.mask
+        index_words = None
+        for col_name, kind, args in self.index_filters:
+            idx = table.indexes[col_name]
+            if kind == "eq":
+                words = idx.query_eq(args[0])
+            elif kind == "isin":
+                words = idx.query_isin(args[0])
+            elif kind == "range":
+                res = idx.query_range(*args)
+                assert res.exact, "non-exact index range needs residual filter"
+                words = res.words
+            else:
+                raise ValueError(kind)
+            index_words = words if index_words is None else (index_words & words)
+        if index_words is not None:
+            mask = mask & bm.expand(index_words, rel.capacity)
+        for f in self.filters:
+            mask = mask & rel.evaluate(f).array
+        rel = rel.with_mask(mask)
+        if index_words is not None and not self.filters:
+            # reference threshold logic (table_scan.cpp:348-356): decode to
+            # row-ids + gather when the match count is small enough
+            n_rows = table.num_rows
+            count = int(bm.popcount(index_words))
+            limit = max(self.decode_max_count, int(n_rows * self.decode_threshold))
+            if count <= limit and count < n_rows // 2:
+                cap = pad_count(count)
+                if cap < rel.capacity:
+                    rowids, _ = kernels.mask_to_indices(mask, cap)
+                    valid = jnp.arange(cap) < count
+                    rel = rel.gather(rowids, valid, cap)
+        return rel
+
+    def describe(self):
+        idx = f" index={[(c, k) for c, k, _ in self.index_filters]}" if self.index_filters else ""
+        return f"table_scan({self.table_name}{idx}, filters={len(self.filters)})"
+
+
+def _expr_columns(expr: Expr) -> set[str]:
+    from ..ops import expressions as E
+    out = set()
+
+    def walk(e):
+        if isinstance(e, E.Col):
+            out.add(e.name)
+        for f in dataclasses.fields(e) if dataclasses.is_dataclass(e) else []:
+            v = getattr(e, f.name)
+            if isinstance(v, E.Expr):
+                walk(v)
+    walk(expr)
+    return out
+
+
+class Filter(PhysicalOperator):
+    """Streaming filter (analog of PhysicalFilter::ExecuteInternal)."""
+
+    name = "filter"
+
+    def __init__(self, child: PhysicalOperator, expr: Expr):
+        super().__init__([child])
+        self.expr = expr
+
+    def _execute(self, ctx):
+        rel = self.children[0].execute(ctx)
+        return rel.with_mask(rel.mask & rel.evaluate(self.expr).array)
+
+
+class Project(PhysicalOperator):
+    """Projection: computed columns (analog of PhysicalProjection)."""
+
+    name = "project"
+
+    def __init__(self, child: PhysicalOperator, exprs: dict[str, Expr | str]):
+        super().__init__([child])
+        self.exprs = exprs
+
+    def _execute(self, ctx):
+        rel = self.children[0].execute(ctx)
+        cols = {}
+        for name, e in self.exprs.items():
+            if isinstance(e, str):
+                cols[name] = rel.columns[e]
+            else:
+                t = rel.evaluate(e)
+                cols[name] = RelColumn(t.array, t.dtype, t.dictionary)
+        return Relation(cols, rel.mask, rel.capacity)
+
+
+class HashJoin(PhysicalOperator):
+    """Hash equi-join (analog of PhysicalHashJoin, join_hashtable.cpp).
+
+    join_type: 'inner' | 'semi' | 'anti' | 'left'
+    `single_match=True` is the PK-FK fast path: the probe relation's shape is
+    preserved and build columns are gathered through the matched row (no
+    expansion, mask narrows on miss).  The general path expands matches into
+    a fresh capacity.
+    """
+
+    name = "hash_join"
+
+    def __init__(self, probe: PhysicalOperator, build: PhysicalOperator,
+                 probe_keys: Sequence[str], build_keys: Sequence[str],
+                 join_type: str = "inner", single_match: bool = True,
+                 out_capacity: int | None = None,
+                 build_prefix: str = ""):
+        super().__init__([probe, build])
+        self.probe_keys = list(probe_keys)
+        self.build_keys = list(build_keys)
+        self.join_type = join_type
+        self.single_match = single_match
+        self.out_capacity = out_capacity
+        self.build_prefix = build_prefix
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def blocking_children(self):
+        return [self.children[1]]
+
+    def _join_keys(self, rel: Relation, names: list[str]):
+        key = rel.columns[names[0]].array.astype(jnp.int64)
+        if len(names) > 1:
+            # combine multi-column keys; dictionary codes and ints compose
+            for n in names[1:]:
+                nxt = rel.columns[n].array.astype(jnp.int64)
+                key = kernels.hash64(key).astype(jnp.int64) * jnp.int64(2654435761) ^ nxt
+        return key
+
+    def _execute(self, ctx):
+        probe_rel = self.children[0].execute(ctx)
+        build_rel = self.children[1].execute(ctx)
+        bkey = self._join_keys(build_rel, self.build_keys)
+        pkey = self._join_keys(probe_rel, self.probe_keys)
+        bs = join_ops.build(bkey, build_rel.mask)
+        if self.join_type in ("semi", "anti"):
+            m = join_ops.semi_mask(bs, pkey, probe_rel.mask,
+                                   anti=self.join_type == "anti")
+            return probe_rel.with_mask(m)
+        if self.single_match:
+            build_row, found = join_ops.probe_single(bs, pkey, probe_rel.mask)
+            safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
+            cols = dict(probe_rel.columns)
+            for n, c in build_rel.columns.items():
+                out_name = self.build_prefix + n
+                if out_name not in cols:
+                    cols[out_name] = RelColumn(
+                        jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary)
+            if self.join_type == "left":
+                mask = probe_rel.mask
+                cols["__join_found__"] = RelColumn(found, BOOL, None)
+            else:
+                mask = probe_rel.mask & found
+            return Relation(cols, mask, probe_rel.capacity)
+        # expansion join
+        entry = join_ops.probe(bs, pkey, probe_rel.mask)
+        cap = self.out_capacity or pad_count(probe_rel.capacity)
+        out_probe, out_build, total = join_ops.expand_matches(
+            bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
+        n_out = int(total)
+        if n_out > cap:
+            raise RuntimeError(
+                f"join expansion overflow: {n_out} > capacity {cap}")
+        valid = jnp.arange(cap) < total
+        out = probe_rel.gather(out_probe, valid, cap)
+        cols = dict(out.columns)
+        safe_b = jnp.clip(out_build, 0, build_rel.capacity - 1)
+        for n, c in build_rel.columns.items():
+            out_name = self.build_prefix + n
+            if out_name not in cols:
+                cols[out_name] = RelColumn(
+                    jnp.take(c.array, safe_b, axis=0), c.dtype, c.dictionary)
+        return Relation(cols, valid, cap)
+
+    def describe(self):
+        return (f"hash_join({self.join_type}, {self.probe_keys}={self.build_keys},"
+                f" single={self.single_match})")
+
+
+@dataclasses.dataclass
+class Aggregate:
+    kind: str                 # sum | count | min | max | avg | sum_double
+    expr: Expr | None         # None for count(*)
+    name: str
+
+
+class GroupAggregate(PhysicalOperator):
+    """Grouped aggregation (analog of PhysicalHashAggregate /
+    PhysicalPerfectHashAggregate / PhysicalUngroupedAggregate).
+
+    Picks the dense mixed-radix path when all group keys are dictionary /
+    CHAR1 / small-int domains; otherwise the sort-based grouping.  With no
+    keys it is the ungrouped single-row aggregate.
+    """
+
+    name = "group_aggregate"
+
+    def __init__(self, child: PhysicalOperator, keys: Sequence[str],
+                 aggregates: Sequence[Aggregate],
+                 dense_domain_limit: int = 1 << 22):
+        super().__init__([child])
+        self.keys = list(keys)
+        self.aggregates = list(aggregates)
+        self.dense_domain_limit = dense_domain_limit
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def _execute(self, ctx):
+        rel = self.children[0].execute(ctx)
+        evaluated: dict[str, Typed] = {}
+        for agg in self.aggregates:
+            if agg.expr is not None:
+                evaluated[agg.name] = rel.evaluate(agg.expr)
+        if not self.keys:
+            return self._ungrouped(rel, evaluated)
+        # choose grouping strategy
+        dense_sizes = []
+        dense_ok = True
+        for k in self.keys:
+            c = rel.columns[k]
+            if c.dtype.id == TypeId.VARCHAR and c.dictionary is not None:
+                dense_sizes.append(len(c.dictionary))
+            elif c.dtype.id == TypeId.CHAR1:
+                dense_sizes.append(256)
+            else:
+                dense_ok = False
+                break
+        total = int(np.prod(dense_sizes)) if dense_ok else None
+        if dense_ok and total <= self.dense_domain_limit:
+            codes, num_groups = groupby_ops.mixed_radix_codes(
+                [rel.columns[k].array for k in self.keys], dense_sizes)
+            gids, valid = codes, rel.mask
+            rep = None
+        else:
+            key_arrays = tuple(
+                rel.columns[k].array.astype(jnp.int64) for k in self.keys)
+            gk = groupby_ops.group_by_sort(key_arrays, rel.mask, rel.capacity)
+            gids, valid, num_groups, rep = (
+                gk.group_ids, gk.valid, rel.capacity, gk.rep_rows)
+        out_cols, out_mask = self._aggregate(rel, evaluated, gids, valid,
+                                             num_groups, rep)
+        cap = num_groups
+        out = Relation(out_cols, out_mask, cap)
+        return _compact_groups(out)
+
+    def _aggregate(self, rel, evaluated, gids, valid, num_groups, rep):
+        counts = kernels.group_count(gids, valid, num_groups)
+        occupied = counts > 0
+        out_cols: dict[str, RelColumn] = {}
+        # group key columns
+        if rep is None:
+            # dense codes: reconstruct key values from the code arithmetic
+            sizes = []
+            for k in self.keys:
+                c = rel.columns[k]
+                sizes.append(len(c.dictionary) if c.dtype.id == TypeId.VARCHAR
+                             else 256)
+            gcodes = jnp.arange(num_groups, dtype=jnp.int32)
+            rem = gcodes
+            for k, size in reversed(list(zip(self.keys, sizes))):
+                c = rel.columns[k]
+                kv = rem % size
+                rem = rem // size
+                out_cols[k] = RelColumn(
+                    kv.astype(np.int32 if c.dtype.id == TypeId.VARCHAR else jnp.uint8),
+                    c.dtype, c.dictionary)
+            out_cols = dict(reversed(list(out_cols.items())))
+        else:
+            safe_rep = jnp.clip(rep, 0, rel.capacity - 1)
+            for k in self.keys:
+                c = rel.columns[k]
+                out_cols[k] = RelColumn(
+                    jnp.take(c.array, safe_rep, axis=0), c.dtype, c.dictionary)
+        for agg in self.aggregates:
+            out_cols[agg.name] = self._one_agg(agg, evaluated, gids, valid,
+                                               num_groups, counts)
+        return out_cols, occupied
+
+    def _one_agg(self, agg, evaluated, gids, valid, num_groups, counts):
+        if agg.kind == "count":
+            if agg.expr is None:
+                return RelColumn(counts, INT64, None)
+            # count(expr): non-null count == valid count here (no NULLs yet)
+            return RelColumn(counts, INT64, None)
+        t = evaluated[agg.name]
+        if agg.kind in ("sum", "avg") and t.dtype.id in (
+                TypeId.DECIMAL, TypeId.INT32, TypeId.INT64):
+            hi, lo = kernels.group_sum_exact(
+                gids, t.array.astype(jnp.int64), valid, num_groups)
+            combined = (hi << jnp.int64(32)) + lo
+            if agg.kind == "sum":
+                return RelColumn(combined, DataType(TypeId.DECIMAL, t.dtype.scale)
+                                 if t.dtype.id == TypeId.DECIMAL else INT64, None)
+            scale = 10.0 ** t.dtype.scale if t.dtype.id == TypeId.DECIMAL else 1.0
+            avg = (hi.astype(jnp.float64) * (2.0**32) + lo.astype(jnp.float64)) \
+                / jnp.maximum(counts, 1).astype(jnp.float64) / scale
+            return RelColumn(avg, DOUBLE, None)
+        if agg.kind in ("sum", "avg", "sum_double"):
+            v = jnp.where(valid, t.array.astype(jnp.float64)
+                          if t.dtype.id != TypeId.DOUBLE else t.array, 0.0)
+            if t.dtype.id == TypeId.DECIMAL:
+                v = v / (10.0 ** t.dtype.scale)
+            s = jnp.zeros(num_groups, jnp.float64).at[
+                jnp.where(valid, gids, 0)].add(v)
+            if agg.kind == "avg":
+                s = s / jnp.maximum(counts, 1).astype(jnp.float64)
+            return RelColumn(s, DOUBLE, None)
+        if agg.kind == "min":
+            r = kernels.group_min(gids, t.array.astype(jnp.int64), valid,
+                                  num_groups, jnp.int64(2**62))
+            return RelColumn(r, t.dtype, t.dictionary)
+        if agg.kind == "max":
+            r = kernels.group_max(gids, t.array.astype(jnp.int64), valid,
+                                  num_groups, jnp.int64(-(2**62)))
+            return RelColumn(r, t.dtype, t.dictionary)
+        raise ValueError(agg.kind)
+
+    def _ungrouped(self, rel, evaluated):
+        out_cols = {}
+        for agg in self.aggregates:
+            if agg.kind == "count":
+                out_cols[agg.name] = RelColumn(
+                    jnp.sum(rel.mask.astype(jnp.int64))[None], INT64, None)
+                continue
+            t = evaluated[agg.name]
+            if agg.kind == "sum" and t.dtype.id in (TypeId.DECIMAL, TypeId.INT32,
+                                                    TypeId.INT64):
+                hi, lo = kernels.masked_sum_exact(
+                    t.array.astype(jnp.int64), rel.mask)
+                combined = (hi << jnp.int64(32)) + lo
+                out_cols[agg.name] = RelColumn(
+                    combined[None], DataType(TypeId.DECIMAL, t.dtype.scale)
+                    if t.dtype.id == TypeId.DECIMAL else INT64, None)
+            elif agg.kind in ("sum", "sum_double", "avg"):
+                v = jnp.where(rel.mask, t.array.astype(jnp.float64), 0.0)
+                if t.dtype.id == TypeId.DECIMAL:
+                    v = v / (10.0 ** t.dtype.scale)
+                s = jnp.sum(v)
+                if agg.kind == "avg":
+                    s = s / jnp.maximum(jnp.sum(rel.mask), 1)
+                out_cols[agg.name] = RelColumn(s[None], DOUBLE, None)
+            elif agg.kind == "min":
+                v = jnp.where(rel.mask, t.array.astype(jnp.int64), jnp.int64(2**62))
+                out_cols[agg.name] = RelColumn(jnp.min(v)[None], t.dtype,
+                                               t.dictionary)
+            elif agg.kind == "max":
+                v = jnp.where(rel.mask, t.array.astype(jnp.int64),
+                              jnp.int64(-(2**62)))
+                out_cols[agg.name] = RelColumn(jnp.max(v)[None], t.dtype,
+                                               t.dictionary)
+            else:
+                raise ValueError(agg.kind)
+        return Relation(out_cols, jnp.ones(1, jnp.bool_), 1)
+
+
+def _compact_groups(rel: Relation) -> Relation:
+    """Drop empty group slots so downstream capacities track group counts."""
+    count = rel.count()
+    cap = pad_count(count)
+    if cap >= rel.capacity:
+        return rel
+    idx, _ = kernels.mask_to_indices(rel.mask, cap)
+    valid = jnp.arange(cap) < count
+    return rel.gather(idx, valid, cap)
+
+
+class OrderBy(PhysicalOperator):
+    """Sort + optional limit (analog of PhysicalOrder / PhysicalTopN).
+
+    Device multi-key sort via lax.sort; DESC encodes by key negation (codes
+    and ints) or sign-flipped bits (doubles).
+    """
+
+    name = "order_by"
+
+    def __init__(self, child: PhysicalOperator, keys: Sequence[tuple[str, bool]],
+                 limit: int | None = None):
+        super().__init__([child])
+        self.keys = list(keys)  # (column, descending)
+        self.limit = limit
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def _execute(self, ctx):
+        rel = self.children[0].execute(ctx)
+        n = rel.capacity
+        operands = []
+        for name, desc in self.keys:
+            c = rel.columns[name]
+            if c.dtype.id == TypeId.DOUBLE:
+                a = c.array
+                key = jnp.where(rel.mask, jnp.where(desc, -a, a), jnp.inf)
+                operands.append(key)
+            else:
+                a = c.array.astype(jnp.int64)
+                key = jnp.where(desc, -a, a)
+                key = jnp.where(rel.mask, key, jnp.int64(2**62))
+                operands.append(key)
+        rows = jnp.arange(n, dtype=jnp.int32)
+        out = jax.lax.sort(tuple(operands) + (rows,), num_keys=len(operands))
+        perm = out[-1]
+        count = rel.count()
+        if self.limit is not None:
+            count = min(count, self.limit)
+        cap = pad_count(count)
+        valid = jnp.arange(cap) < count
+        return rel.gather(perm[:cap], valid, cap)
+
+
+class Limit(PhysicalOperator):
+    name = "limit"
+
+    def __init__(self, child: PhysicalOperator, limit: int):
+        super().__init__([child])
+        self.limit = limit
+
+    def _execute(self, ctx):
+        rel = self.children[0].execute(ctx)
+        count = min(rel.count(), self.limit)
+        cap = pad_count(count)
+        idx, _ = kernels.mask_to_indices(rel.mask, cap)
+        valid = jnp.arange(cap) < count
+        return rel.gather(idx, valid, cap)

@@ -1,0 +1,66 @@
+"""TPC-H logical schema and default CUBIT index configuration.
+
+Column types mirror the reference's table definitions (reference
+extension/tpch/dbgen/dbgen.cpp:332-425: BIGINT keys, DECIMAL(15,2) money,
+DATE dates, VARCHAR strings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..types import DATE, DECIMAL, INT32, INT64, DataType, date_to_days
+
+DEC2 = DECIMAL(2)
+
+SCHEMA: dict[str, dict[str, DataType]] = {
+    "region": {},
+    "nation": {},
+    "supplier": {"s_acctbal": DEC2},
+    "customer": {"c_acctbal": DEC2},
+    "part": {"p_retailprice": DEC2},
+    "partsupp": {"ps_supplycost": DEC2},
+    "orders": {"o_totalprice": DEC2, "o_orderdate": DATE},
+    "lineitem": {
+        "l_quantity": DEC2, "l_extendedprice": DEC2, "l_discount": DEC2,
+        "l_tax": DEC2, "l_shipdate": DATE, "l_commitdate": DATE,
+        "l_receiptdate": DATE,
+    },
+}
+
+
+def month_edges(first_year: int = 1992, last_year: int = 1998) -> np.ndarray:
+    """Epoch-day edges of every month start in the TPC-H date window."""
+    edges = []
+    for y in range(first_year, last_year + 1):
+        for m in range(1, 13):
+            edges.append(date_to_days(f"{y:04d}-{m:02d}-01"))
+    edges.append(date_to_days(f"{last_year + 1:04d}-01-01"))
+    return np.array(edges, dtype=np.int64)
+
+
+# CUBIT indexes built at load: column -> (n_bins, bin_edges | None).
+# Identity-binned low-cardinality columns index their raw device codes;
+# edge-binned columns (dates, cents quantities) get exact answers whenever
+# predicate endpoints land on edges, else boundary-bin refinement.
+DEFAULT_INDEXES = {
+    "lineitem": {
+        "l_shipdate": ("edges", month_edges()[:-1]),
+        "l_discount": ("identity", 11),
+        "l_quantity": ("edges", np.arange(1, 51, dtype=np.int64) * 100),
+        "l_returnflag": ("values", None),
+        "l_shipmode": ("dict", None),
+    },
+    "orders": {
+        "o_orderdate": ("edges", month_edges()[:-1]),
+        "o_orderpriority": ("dict", None),
+    },
+    "part": {
+        "p_size": ("identity", 51),
+        "p_brand": ("dict", None),
+        "p_container": ("dict", None),
+    },
+    "customer": {
+        "c_mktsegment": ("dict", None),
+    },
+}

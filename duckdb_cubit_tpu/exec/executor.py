@@ -63,30 +63,92 @@ def build_pipelines(root: PhysicalOperator) -> list[Pipeline]:
 
 
 class Executor:
+    """Drives plans either eagerly (profiling mode) or as one compiled XLA
+    program per plan signature (the production path: a full query is a
+    handful of device dispatches regardless of operator count)."""
+
+    _compiled_cache: dict = {}
+
     def __init__(self, catalog, config=None):
         self.catalog = catalog
         self.config = config
 
     def execute(self, plan: PhysicalOperator, profile: bool = False,
-                optimize: bool = True):
+                optimize: bool = True, compiled: bool | None = None):
+        if compiled is None:
+            compiled = not profile
         profiler = QueryProfiler() if profile else None
         if optimize:
-            if profiler:
-                with profiler.phase("optimizer"):
-                    plan = opt.optimize(plan, self.catalog)
-            else:
-                plan = opt.optimize(plan, self.catalog)
-        ctx = ExecContext(self.catalog, self.config, profiler)
-        # pipelines are executed implicitly in dependency order by the
-        # operator recursion; building them drives profiling structure and
-        # (later) async scheduling
+            plan = opt.optimize(plan, self.catalog)
         self.pipelines = build_pipelines(plan)
-        if profiler:
-            with profiler.phase("execute"):
-                rel = plan.execute(ctx)
-            self.profiler = profiler
-        else:
-            rel = plan.execute(ctx)
-            self.profiler = None
         self.plan = plan
-        return rel
+        self.profiler = profiler
+        if not compiled:
+            ctx = ExecContext(self.catalog, self.config, profiler)
+            if profiler:
+                with profiler.phase("execute"):
+                    return plan.execute(ctx)
+            return plan.execute(ctx)
+        return self._execute_compiled(plan)
+
+    # ------------------------------------------------------- compiled path
+    def _execute_compiled(self, plan: PhysicalOperator):
+        import jax
+
+        from ..plan.physical import TableScan
+
+        # Phase A: shape planning (tiny eager word ops + popcount pulls)
+        ctx_a = ExecContext(self.catalog, self.config, None)
+        plan.prepare(ctx_a)
+
+        # assemble flat device inputs from every scan
+        spec = []     # (scan op, 'col'/'words', name)
+        arrays = []
+        for op in plan.walk():
+            if isinstance(op, TableScan):
+                table = self.catalog.table(op.table_name)
+                for cname in op.needed_columns(table):
+                    spec.append((op, "col", cname))
+                    arrays.append(table.columns[cname].data)
+                if getattr(op, "_words", None) is not None:
+                    spec.append((op, "words", None))
+                    arrays.append(op._words)
+
+        sig = (plan.signature(),
+               tuple((a.shape, str(a.dtype)) for a in arrays))
+        entry = Executor._compiled_cache.get(sig)
+        if entry is None:
+            meta_box = {}
+            plan_ref = plan
+            spec_shapes = [(s[0], s[1], s[2]) for s in spec]
+
+            def traced(args):
+                ctx = ExecContext(self.catalog, self.config, None, traced=True)
+                for (op, kind, name), arr in zip(spec_shapes, args):
+                    slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
+                    if kind == "col":
+                        slot["cols"][name] = arr
+                    else:
+                        slot["words"] = arr
+                rel = plan_ref.execute(ctx)
+                meta_box["names"] = list(rel.columns.keys())
+                meta_box["meta"] = [(c.dtype, c.dictionary)
+                                    for c in rel.columns.values()]
+                meta_box["capacity"] = rel.capacity
+                out = tuple(c.array for c in rel.columns.values())
+                checks = tuple(c for _, c in ctx.checks)
+                meta_box["check_names"] = [n for n, _ in ctx.checks]
+                return out, rel.mask, checks
+
+            jitted = jax.jit(traced)
+            entry = (jitted, meta_box)
+            Executor._compiled_cache[sig] = entry
+        jitted, meta_box = entry
+        out, mask, checks = jitted(arrays)
+        for name, ok in zip(meta_box.get("check_names", []), checks):
+            if not bool(ok):
+                raise RuntimeError(f"runtime check failed: {name}")
+        from ..plan.physical import RelColumn, Relation
+        cols = {n: RelColumn(a, dt, d) for n, a, (dt, d) in
+                zip(meta_box["names"], out, meta_box["meta"])}
+        return Relation(cols, mask, meta_box["capacity"])

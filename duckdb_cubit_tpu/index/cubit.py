@@ -46,7 +46,8 @@ class CubitIndex:
     """Bitmap index over one column of a Table."""
 
     def __init__(self, name: str, capacity: int, n_bins: int,
-                 bin_edges: np.ndarray | None = None):
+                 bin_edges: np.ndarray | None = None,
+                 range_encode: bool = True):
         self.name = name
         self.capacity = capacity
         self.n_words = bm.num_words(capacity)
@@ -55,6 +56,11 @@ class CubitIndex:
         self.bin_edges = bin_edges
         self.epoch = 0
         self.words: jnp.ndarray | None = None  # (n_bins, n_words) uint32
+        # Range encoding (Chan-Ioannidis): cum[b] = OR of bins <= b, so a bin
+        # range reads two rows (cum[hi] XOR cum[lo-1]) instead of hi-lo+1 —
+        # the HBM-traffic win that gets scans to the bandwidth roofline.
+        self.range_encode = range_encode
+        self.cum_words: jnp.ndarray | None = None
         self._pending: list[tuple[int, int, int]] = []  # (row, old_bin, new_bin)
 
     # ------------------------------------------------------------- building
@@ -66,15 +72,41 @@ class CubitIndex:
     @classmethod
     def build(cls, name: str, values_or_codes, capacity: int, num_rows: int,
               n_bins: int, bin_edges: np.ndarray | None = None) -> "CubitIndex":
+        """Build host-side (exact bincount bit-packing), upload finished words.
+
+        Each row contributes one distinct power-of-two weight to one
+        (bin, word) slot, so a float64 bincount (exact below 2**53) equals
+        the bitwise OR; this is orders of magnitude faster than device
+        scatter for the one-time build, and the uploaded bitmaps are tiny
+        (n_bins * n_rows / 8 bytes).
+        """
         idx = cls(name, capacity, n_bins, bin_edges)
-        codes = idx.bin_of(np.asarray(values_or_codes)) if bin_edges is not None \
-            else values_or_codes
-        codes_dev = jnp.asarray(np.asarray(codes, dtype=np.int32))
-        if codes_dev.shape[0] < capacity:
-            codes_dev = jnp.pad(codes_dev, (0, capacity - codes_dev.shape[0]))
-        valid = jnp.arange(capacity) < num_rows
-        idx.words = bm.build_bitmaps(codes_dev, valid, n_bins, idx.n_words)
+        codes = np.asarray(values_or_codes)[:num_rows]
+        if bin_edges is not None:
+            codes = idx.bin_of(codes)
+        codes = codes.astype(np.int64)
+        rows = np.arange(num_rows, dtype=np.int64)
+        word = rows >> 5
+        bit = (1 << (rows & 31)).astype(np.float64)
+        flat = codes * idx.n_words + word
+        words = np.bincount(flat, weights=bit,
+                            minlength=n_bins * idx.n_words)
+        words = words.astype(np.int64).astype(np.uint32).reshape(
+            n_bins, idx.n_words)
+        idx.words = jnp.asarray(words)
+        if idx.range_encode:
+            cum = np.cumsum(words.astype(np.uint64), axis=0).astype(np.uint32)
+            idx.cum_words = jnp.asarray(cum)
+        else:
+            idx.cum_words = None
         return idx
+
+    def _rebuild_cum(self):
+        if self.range_encode:
+            # disjoint bins: cumulative OR == cumulative sum (no carries)
+            self.cum_words = jnp.cumsum(self.words, axis=0, dtype=jnp.uint32)
+        else:
+            self.cum_words = None
 
     # -------------------------------------------------------------- queries
     def query_eq(self, value) -> jnp.ndarray:
@@ -122,7 +154,17 @@ class CubitIndex:
                     hi_inclusive=True) -> RangeQueryResult:
         """Candidate bitvector for value in [lo, hi] (None = unbounded)."""
         blo, bhi, refine = self.range_bins(lo, hi, lo_inclusive, hi_inclusive)
-        words = bm.or_range(self.words, blo, bhi)
+        if bhi < blo:
+            words = jnp.zeros(self.n_words, jnp.uint32)
+        elif self.cum_words is not None:
+            hi_row = self.cum_words[bhi]
+            if blo == 0:
+                words = hi_row
+            else:
+                # cum[lo-1] bits are a subset of cum[hi] bits -> XOR = range
+                words = jnp.bitwise_xor(hi_row, self.cum_words[blo - 1])
+        else:
+            words = bm.or_range(self.words, blo, bhi)
         return RangeQueryResult(words, not refine, refine)
 
     def count(self, words: jnp.ndarray) -> int:
@@ -174,6 +216,7 @@ class CubitIndex:
         self.words = jnp.bitwise_xor(
             self.words.reshape(-1), jnp.asarray(delta_np)
         ).reshape(self.n_bins, self.n_words)
+        self._rebuild_cum()
         self._pending.clear()
         self.epoch += 1
         return self.epoch

@@ -1,0 +1,82 @@
+"""Distributed radix exchange: the TPU analog of radix partitioning.
+
+Replaces the reference's in-memory radix fan-out
+(reference src/common/radix_partitioning.cpp, RadixPartitionedTupleData used
+by join/aggregate sinks, and the repartitioning of
+HashJoinGlobalSinkState/SetRepartitionRadixBits, join_hashtable.cpp:1370):
+rows are routed to the device that owns hash(key) mod n_devices with one
+all_to_all over ICI.  Static shapes: each shard packs rows into per-
+destination buckets with a fixed quota; the returned overflow count lets the
+host detect skew and re-run with a larger quota (the skew-aware analog of
+the reference growing its radix bits).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..ops.kernels import hash64
+from .mesh import DATA_AXIS
+
+
+def partition_ids(keys: jnp.ndarray, n_dest: int) -> jnp.ndarray:
+    """Destination device of each row (hash partitioning)."""
+    return (hash64(keys) % jnp.uint64(n_dest)).astype(jnp.int32)
+
+
+def _pack_buckets(keys, payload_cols, valid, n_dest: int, quota: int):
+    """Arrange local rows into (n_dest, quota) padded buckets."""
+    dest = partition_ids(keys, n_dest)
+    dest = jnp.where(valid, dest, n_dest)  # invalid -> dropped bucket
+    # slot within destination bucket: running count per dest via sort trick
+    n = keys.shape[0]
+    order = jnp.argsort(dest, stable=True)
+    sorted_dest = dest[order]
+    pos_in_run = jnp.arange(n) - jnp.searchsorted(sorted_dest, sorted_dest,
+                                                  side="left")
+    slot = jnp.zeros(n, jnp.int32).at[order].set(pos_in_run.astype(jnp.int32))
+    overflow = jnp.sum((slot >= quota) & valid)
+    ok = valid & (slot < quota)
+    flat = jnp.where(ok, dest * quota + slot, n_dest * quota)
+    def scatter(col, fill):
+        buf = jnp.full((n_dest * quota + 1,), fill, col.dtype)
+        buf = buf.at[flat].set(jnp.where(ok, col, fill))
+        return buf[:-1].reshape(n_dest, quota)
+    out_keys = scatter(keys, jnp.int64(-(2**62)))
+    out_payload = [scatter(c, jnp.zeros((), c.dtype)) for c in payload_cols]
+    out_valid = scatter(ok.astype(jnp.int32), jnp.int32(0)).astype(jnp.bool_)
+    return out_keys, out_payload, out_valid, overflow
+
+
+def make_radix_exchange(mesh, quota: int, n_payload: int):
+    """Build a shard_mapped all_to_all exchange function.
+
+    Returns fn(keys, payload..., valid) ->
+        (keys', payload'..., valid', overflow) where row r now lives on the
+    device owning hash(key) % n.  Output per device: (n * quota) rows.
+    """
+    n = mesh.devices.size
+
+    def local(keys, valid, *payload):
+        k, p, v, overflow = _pack_buckets(keys, list(payload), valid, n, quota)
+        # (n_dest, quota): send bucket d to device d, receive one per peer
+        k = jax.lax.all_to_all(k, DATA_AXIS, split_axis=0, concat_axis=0)
+        p = [jax.lax.all_to_all(c, DATA_AXIS, split_axis=0, concat_axis=0)
+             for c in p]
+        v = jax.lax.all_to_all(v, DATA_AXIS, split_axis=0, concat_axis=0)
+        k = k.reshape(-1)
+        p = [c.reshape(-1) for c in p]
+        v = v.reshape(-1)
+        overflow = jax.lax.psum(overflow, DATA_AXIS)
+        return (k, v, overflow, *p)
+
+    in_specs = (P(DATA_AXIS), P(DATA_AXIS)) + tuple(P(DATA_AXIS) for _ in range(n_payload))
+    out_specs = (P(DATA_AXIS), P(DATA_AXIS), P()) + tuple(
+        P(DATA_AXIS) for _ in range(n_payload))
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False))

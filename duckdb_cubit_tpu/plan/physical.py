@@ -72,10 +72,15 @@ class Relation:
 
 
 class ExecContext:
-    def __init__(self, catalog, config=None, profiler=None):
+    def __init__(self, catalog, config=None, profiler=None, traced=False):
         self.catalog = catalog
         self.config = config
         self.profiler = profiler
+        self.traced = traced
+        # traced mode: per-scan input arrays injected by the executor
+        self.scan_inputs: dict[int, dict] = {}
+        # traced runtime assertions (name, scalar) verified host-side after run
+        self.checks: list[tuple[str, Any]] = []
         self._cache: dict[int, Relation] = {}
 
 
@@ -116,6 +121,25 @@ class PhysicalOperator:
     def describe(self) -> str:
         return self.name
 
+    # --- compiled execution protocol -----------------------------------
+    def prepare(self, ctx: "ExecContext"):
+        """Phase A (host): resolve data-dependent shape decisions."""
+        for c in self.children:
+            c.prepare(ctx)
+
+    def signature(self) -> str:
+        """Structural signature for the compiled-plan cache."""
+        child_sigs = ",".join(c.signature() for c in self.children)
+        return f"{self._self_signature()}({child_sigs})"
+
+    def _self_signature(self) -> str:
+        return self.name
+
+    def walk(self):
+        yield self
+        for c in self.children:
+            yield from c.walk()
+
 
 def relation_from_table(table: Table) -> Relation:
     cols = {
@@ -154,17 +178,16 @@ class TableScan(PhysicalOperator):
         self.decode_threshold = decode_threshold
         self.decode_max_count = decode_max_count
 
-    def _execute(self, ctx: ExecContext) -> Relation:
-        table = ctx.catalog.table(self.table_name)
-        rel = relation_from_table(table)
-        if self.projection is not None:
-            needed = set(self.projection)
-            for f in self.filters:
-                needed |= _expr_columns(f)
-            rel = Relation(
-                {n: c for n, c in rel.columns.items() if n in needed},
-                rel.mask, rel.capacity)
-        mask = rel.mask
+    def needed_columns(self, table: Table) -> list[str]:
+        if self.projection is None:
+            return list(table.columns.keys())
+        needed = set(self.projection)
+        for f in self.filters:
+            needed |= _expr_columns(f)
+        return [n for n in table.columns if n in needed]
+
+    def _index_words(self, table: Table):
+        """Evaluate pushed index filters -> combined candidate bitvector."""
         index_words = None
         for col_name, kind, args in self.index_filters:
             idx = table.indexes[col_name]
@@ -179,24 +202,61 @@ class TableScan(PhysicalOperator):
             else:
                 raise ValueError(kind)
             index_words = words if index_words is None else (index_words & words)
-        if index_words is not None:
-            mask = mask & bm.expand(index_words, rel.capacity)
+        return index_words
+
+    def prepare(self, ctx: ExecContext):
+        """Phase A: evaluate index bitvectors (tiny word ops) and take the
+        decode-vs-mask decision from their popcount (the reference threshold,
+        table_scan.cpp:348-356)."""
+        table = ctx.catalog.table(self.table_name)
+        self._words = self._index_words(table)
+        self._decode_cap = None
+        if self._words is not None and not self.filters:
+            n_rows = table.num_rows
+            count = int(bm.popcount(self._words))
+            limit = max(self.decode_max_count,
+                        int(n_rows * self.decode_threshold))
+            if count <= limit and count < n_rows // 2:
+                cap = pad_count(count)
+                if cap < table.capacity:
+                    self._decode_cap = cap
+                    self._decode_count = count
+
+    def _execute(self, ctx: ExecContext) -> Relation:
+        table = ctx.catalog.table(self.table_name)
+        if not hasattr(self, "_words"):
+            self.prepare(ctx)
+        inputs = ctx.scan_inputs.get(id(self))
+        if inputs is not None:
+            cols = inputs["cols"]
+            words = inputs.get("words")
+        else:
+            cols = {n: table.columns[n].data for n in self.needed_columns(table)}
+            words = self._words
+        rel = Relation(
+            {n: RelColumn(cols[n], table.columns[n].dtype,
+                          table.columns[n].dictionary) for n in cols},
+            jnp.arange(table.capacity) < table.num_rows,
+            table.capacity)
+        mask = rel.mask
+        if words is not None:
+            mask = mask & bm.expand(words, rel.capacity)
         for f in self.filters:
             mask = mask & rel.evaluate(f).array
         rel = rel.with_mask(mask)
-        if index_words is not None and not self.filters:
-            # reference threshold logic (table_scan.cpp:348-356): decode to
-            # row-ids + gather when the match count is small enough
-            n_rows = table.num_rows
-            count = int(bm.popcount(index_words))
-            limit = max(self.decode_max_count, int(n_rows * self.decode_threshold))
-            if count <= limit and count < n_rows // 2:
-                cap = pad_count(count)
-                if cap < rel.capacity:
-                    rowids, _ = kernels.mask_to_indices(mask, cap)
-                    valid = jnp.arange(cap) < count
-                    rel = rel.gather(rowids, valid, cap)
+        if self._decode_cap is not None:
+            # index-scan path: decode row-ids, probe only projected columns
+            cap = self._decode_cap
+            rowids, _ = kernels.mask_to_indices(mask, cap)
+            valid = jnp.arange(cap) < self._decode_count
+            rel = rel.gather(rowids, valid, cap)
         return rel
+
+    def _self_signature(self):
+        idx = ";".join(f"{c}:{k}:{a}" for c, k, a in self.index_filters)
+        decode = getattr(self, "_decode_cap", None)
+        return (f"table_scan[{self.table_name};{self.projection};"
+                f"{[repr(f) for f in self.filters]};{idx};decode={decode}]")
 
     def describe(self):
         idx = f" index={[(c, k) for c, k, _ in self.index_filters]}" if self.index_filters else ""
@@ -231,6 +291,9 @@ class Filter(PhysicalOperator):
         rel = self.children[0].execute(ctx)
         return rel.with_mask(rel.mask & rel.evaluate(self.expr).array)
 
+    def _self_signature(self):
+        return f"filter[{self.expr!r}]"
+
 
 class Project(PhysicalOperator):
     """Projection: computed columns (analog of PhysicalProjection)."""
@@ -251,6 +314,9 @@ class Project(PhysicalOperator):
                 t = rel.evaluate(e)
                 cols[name] = RelColumn(t.array, t.dtype, t.dictionary)
         return Relation(cols, rel.mask, rel.capacity)
+
+    def _self_signature(self):
+        return f"project[{ {n: repr(e) for n, e in self.exprs.items()} }]"
 
 
 class HashJoin(PhysicalOperator):
@@ -323,10 +389,7 @@ class HashJoin(PhysicalOperator):
         cap = self.out_capacity or pad_count(probe_rel.capacity)
         out_probe, out_build, total = join_ops.expand_matches(
             bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
-        n_out = int(total)
-        if n_out > cap:
-            raise RuntimeError(
-                f"join expansion overflow: {n_out} > capacity {cap}")
+        ctx.checks.append((f"join_expansion<= {cap}", total <= cap))
         valid = jnp.arange(cap) < total
         out = probe_rel.gather(out_probe, valid, cap)
         cols = dict(out.columns)
@@ -341,6 +404,10 @@ class HashJoin(PhysicalOperator):
     def describe(self):
         return (f"hash_join({self.join_type}, {self.probe_keys}={self.build_keys},"
                 f" single={self.single_match})")
+
+    def _self_signature(self):
+        return (f"hash_join[{self.join_type};{self.probe_keys};{self.build_keys};"
+                f"{self.single_match};{self.out_capacity};{self.build_prefix}]")
 
 
 @dataclasses.dataclass
@@ -371,6 +438,10 @@ class GroupAggregate(PhysicalOperator):
 
     def is_pipeline_breaker(self):
         return True
+
+    def _self_signature(self):
+        aggs = ";".join(f"{a.kind}:{a.name}:{a.expr!r}" for a in self.aggregates)
+        return f"group_aggregate[{self.keys};{aggs}]"
 
     def _execute(self, ctx):
         rel = self.children[0].execute(ctx)
@@ -406,9 +477,7 @@ class GroupAggregate(PhysicalOperator):
                 gk.group_ids, gk.valid, rel.capacity, gk.rep_rows)
         out_cols, out_mask = self._aggregate(rel, evaluated, gids, valid,
                                              num_groups, rep)
-        cap = num_groups
-        out = Relation(out_cols, out_mask, cap)
-        return _compact_groups(out)
+        return Relation(out_cols, out_mask, num_groups)
 
     def _aggregate(self, rel, evaluated, gids, valid, num_groups, rep):
         counts = kernels.group_count(gids, valid, num_groups)
@@ -567,12 +636,16 @@ class OrderBy(PhysicalOperator):
         rows = jnp.arange(n, dtype=jnp.int32)
         out = jax.lax.sort(tuple(operands) + (rows,), num_keys=len(operands))
         perm = out[-1]
-        count = rel.count()
-        if self.limit is not None:
-            count = min(count, self.limit)
-        cap = pad_count(count)
-        valid = jnp.arange(cap) < count
+        total = jnp.sum(rel.mask.astype(jnp.int64))
+        cap = rel.capacity if self.limit is None else min(
+            pad_count(self.limit), rel.capacity)
+        limit = total if self.limit is None else jnp.minimum(
+            total, self.limit)
+        valid = jnp.arange(cap) < limit
         return rel.gather(perm[:cap], valid, cap)
+
+    def _self_signature(self):
+        return f"order_by[{self.keys};{self.limit}]"
 
 
 class Limit(PhysicalOperator):
@@ -584,8 +657,8 @@ class Limit(PhysicalOperator):
 
     def _execute(self, ctx):
         rel = self.children[0].execute(ctx)
-        count = min(rel.count(), self.limit)
-        cap = pad_count(count)
-        idx, _ = kernels.mask_to_indices(rel.mask, cap)
-        valid = jnp.arange(cap) < count
-        return rel.gather(idx, valid, cap)
+        keep = rel.mask & (jnp.cumsum(rel.mask.astype(jnp.int64)) <= self.limit)
+        return rel.with_mask(keep)
+
+    def _self_signature(self):
+        return f"limit[{self.limit}]"

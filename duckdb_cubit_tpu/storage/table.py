@@ -151,6 +151,51 @@ def from_numpy(
     return Table(name=name, columns=columns, num_rows=num_rows, capacity=capacity)
 
 
+def from_encoded(name: str, cols: dict[str, dict],
+                 schema: dict[str, DataType] | None = None,
+                 build_zone_maps: bool = True) -> Table:
+    """Ingest columns that may carry pre-built dictionary encodings.
+
+    `cols[c]` is {"raw": arr} for plain columns or {"codes": int32,
+    "dict": |S array} for pre-encoded VARCHAR.
+    """
+    first = next(iter(cols.values()))
+    num_rows = len(first.get("raw", first.get("codes")))
+    capacity = pad_count(num_rows)
+    columns: dict[str, Column] = {}
+    for col_name, parts in cols.items():
+        dictionary = None
+        if "codes" in parts:
+            dev_np, dictionary, dtype = parts["codes"], parts["dict"], VARCHAR
+        else:
+            raw = parts["raw"]
+            if raw.dtype == np.uint8:
+                dev_np, dtype = raw, CHAR1
+            elif raw.dtype == np.int32:
+                dev_np, dtype = raw, (schema or {}).get(col_name, INT32)
+            elif raw.dtype == np.int64:
+                dev_np, dtype = raw, (schema or {}).get(col_name, INT64)
+            elif raw.dtype == np.float64:
+                dev_np, dtype = raw, DOUBLE
+            else:
+                raise TypeError(f"unsupported dtype {raw.dtype}")
+        if schema and col_name in schema:
+            dtype = schema[col_name]
+        padded = np.empty(capacity, dtype=dev_np.dtype)
+        padded[:num_rows] = dev_np
+        padded[num_rows:] = dev_np[0] if num_rows else 0
+        zone_map = None
+        if build_zone_maps and num_rows and dtype.id in (
+            TypeId.INT32, TypeId.INT64, TypeId.DECIMAL, TypeId.DATE,
+            TypeId.VARCHAR, TypeId.CHAR1,
+        ):
+            zone_map = _build_zone_map(dev_np, num_rows)
+        columns[col_name] = Column(col_name, dtype, jnp.asarray(padded),
+                                   dictionary, zone_map)
+    return Table(name=name, columns=columns, num_rows=num_rows,
+                 capacity=capacity)
+
+
 class Catalog:
     """Name -> Table registry (analog of reference src/catalog/)."""
 

@@ -8,14 +8,52 @@ as device Tables, and builds the default CUBIT indexes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..index.cubit import CubitIndex
-from ..storage.table import Catalog, Table, from_numpy
+from ..storage.table import Catalog, Table, encode_strings, from_numpy
 from . import dbgen
 from .schema import DEFAULT_INDEXES, SCHEMA
 
 _CACHE: dict[float, Catalog] = {}
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DISK_CACHE_DIR = os.path.join(_ROOT, "data_cache")
+
+
+def _disk_cache_path(sf: float) -> str:
+    return os.path.join(DISK_CACHE_DIR, f"tpch_sf{sf}.npz")
+
+
+def _save_disk_cache(sf: float, tables: dict):
+    """Persist generated tables with strings pre-dictionary-encoded."""
+    os.makedirs(DISK_CACHE_DIR, exist_ok=True)
+    blobs = {}
+    for tname, cols in tables.items():
+        for cname, arr in cols.items():
+            if arr.dtype.kind == "S":
+                codes, dictionary = encode_strings(arr)
+                blobs[f"{tname}/{cname}/codes"] = codes
+                blobs[f"{tname}/{cname}/dict"] = dictionary
+            else:
+                blobs[f"{tname}/{cname}/raw"] = arr
+    tmp = _disk_cache_path(sf) + ".tmp"
+    np.savez(tmp, **blobs)
+    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+               _disk_cache_path(sf))
+
+
+def _load_disk_cache(sf: float):
+    path = _disk_cache_path(sf)
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    tables: dict[str, dict] = {}
+    for key in z.files:
+        tname, cname, kind = key.split("/")
+        tables.setdefault(tname, {}).setdefault(cname, {})[kind] = z[key]
+    return tables
 
 
 def build_indexes(table: Table, spec: dict):
@@ -49,16 +87,28 @@ def build_indexes(table: Table, spec: dict):
 
 
 def load_catalog(sf: float = 0.01, with_indexes: bool = True,
-                 cache: bool = True) -> Catalog:
+                 cache: bool = True, disk_cache: bool = True) -> Catalog:
     if cache and sf in _CACHE:
         return _CACHE[sf]
-    tables = dbgen.gen_all(sf)
+    from ..storage.table import from_encoded
+
+    encoded = _load_disk_cache(sf) if disk_cache else None
     catalog = Catalog()
-    for name, cols in tables.items():
-        t = from_numpy(name, cols, SCHEMA.get(name, {}))
-        if with_indexes and name in DEFAULT_INDEXES:
-            build_indexes(t, DEFAULT_INDEXES[name])
-        catalog.register(t)
+    if encoded is None:
+        tables = dbgen.gen_all(sf)
+        if disk_cache and sf >= 0.1:
+            _save_disk_cache(sf, tables)
+        for name, cols in tables.items():
+            t = from_numpy(name, cols, SCHEMA.get(name, {}))
+            if with_indexes and name in DEFAULT_INDEXES:
+                build_indexes(t, DEFAULT_INDEXES[name])
+            catalog.register(t)
+    else:
+        for name, cols in encoded.items():
+            t = from_encoded(name, cols, SCHEMA.get(name, {}))
+            if with_indexes and name in DEFAULT_INDEXES:
+                build_indexes(t, DEFAULT_INDEXES[name])
+            catalog.register(t)
     if cache:
         _CACHE[sf] = catalog
     return catalog

@@ -107,9 +107,22 @@ def mask_to_indices(mask: jnp.ndarray, capacity: int) -> tuple[jnp.ndarray, jnp.
     out-of-range sentinel).  This is the analog of the reference's
     sel-vector production in filter kernels (column_segment.cpp:262) and of
     the CUBIT bitvector->rowid decode.
+
+    Implemented as a stable sort on the inverted mask (selected rows first,
+    in row order) rather than jnp.nonzero, whose sized lowering is an order
+    of magnitude slower on TPU.
     """
-    (idx,) = jnp.nonzero(mask, size=capacity, fill_value=mask.shape[0])
-    return idx, jnp.sum(mask.astype(jnp.int64))
+    n = mask.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    inv = (~mask).astype(jnp.int32)
+    _, perm = jax.lax.sort((inv, rows), num_keys=1, is_stable=True)
+    count = jnp.sum(mask.astype(jnp.int64))
+    if capacity > n:
+        perm = jnp.concatenate(
+            [perm, jnp.full(capacity - n, n, jnp.int32)])
+    take = perm[:capacity].astype(jnp.int64)
+    idx = jnp.where(jnp.arange(capacity) < count, take, n)
+    return idx, count
 
 
 def gather_columns(arrays: dict, indices: jnp.ndarray) -> dict:

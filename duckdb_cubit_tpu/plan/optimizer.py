@@ -71,6 +71,11 @@ def _match_conjunct(conj: E.Expr, table):
         col = table.columns[col_name]
         lit = right
         if isinstance(lit.value, str):
+            from ..types import TypeId
+            if col.dtype.id == TypeId.CHAR1 and len(lit.value) == 1:
+                if op != "==":
+                    return None
+                return (col_name, "cmp", ("==", ord(lit.value)))
             if col.dictionary is None or op != "==":
                 return None
             b = lit.value.encode()

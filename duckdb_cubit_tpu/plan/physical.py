@@ -168,7 +168,7 @@ class TableScan(PhysicalOperator):
                  projection: Sequence[str] | None = None,
                  index_filters: Sequence[tuple] | None = None,
                  decode_threshold: float = 0.001,
-                 decode_max_count: int = 1 << 20):
+                 decode_max_count: int = 1 << 14):
         super().__init__()
         self.table_name = table_name
         self.filters = list(filters)
@@ -430,10 +430,14 @@ class GroupAggregate(PhysicalOperator):
 
     def __init__(self, child: PhysicalOperator, keys: Sequence[str],
                  aggregates: Sequence[Aggregate],
+                 carry: Sequence[str] = (),
                  dense_domain_limit: int = 1 << 22):
         super().__init__([child])
         self.keys = list(keys)
         self.aggregates = list(aggregates)
+        # columns functionally dependent on the keys, carried through the
+        # group via a representative row (c_name etc. in Q3/Q10/Q18)
+        self.carry = list(carry)
         self.dense_domain_limit = dense_domain_limit
 
     def is_pipeline_breaker(self):
@@ -441,7 +445,7 @@ class GroupAggregate(PhysicalOperator):
 
     def _self_signature(self):
         aggs = ";".join(f"{a.kind}:{a.name}:{a.expr!r}" for a in self.aggregates)
-        return f"group_aggregate[{self.keys};{aggs}]"
+        return f"group_aggregate[{self.keys};{self.carry};{aggs}]"
 
     def _execute(self, ctx):
         rel = self.children[0].execute(ctx)
@@ -464,7 +468,7 @@ class GroupAggregate(PhysicalOperator):
                 dense_ok = False
                 break
         total = int(np.prod(dense_sizes)) if dense_ok else None
-        if dense_ok and total <= self.dense_domain_limit:
+        if dense_ok and total <= self.dense_domain_limit and not self.carry:
             codes, num_groups = groupby_ops.mixed_radix_codes(
                 [rel.columns[k].array for k in self.keys], dense_sizes)
             gids, valid = codes, rel.mask
@@ -503,7 +507,7 @@ class GroupAggregate(PhysicalOperator):
             out_cols = dict(reversed(list(out_cols.items())))
         else:
             safe_rep = jnp.clip(rep, 0, rel.capacity - 1)
-            for k in self.keys:
+            for k in list(self.keys) + list(self.carry):
                 c = rel.columns[k]
                 out_cols[k] = RelColumn(
                     jnp.take(c.array, safe_rep, axis=0), c.dtype, c.dictionary)

@@ -50,6 +50,7 @@ DEFAULT_INDEXES = {
         "l_quantity": ("edges", np.arange(1, 51, dtype=np.int64) * 100),
         "l_returnflag": ("values", None),
         "l_shipmode": ("dict", None),
+        "l_receiptdate": ("edges", month_edges()[:-1]),
     },
     "orders": {
         "o_orderdate": ("edges", month_edges()[:-1]),

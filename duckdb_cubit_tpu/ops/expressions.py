@@ -354,6 +354,29 @@ class Like(Expr):
 
 
 @dataclasses.dataclass(eq=False)
+class Substr(Expr):
+    """substring(col, start, length) on a dictionary column.
+
+    Computed entirely at trace time over the dictionary: each dictionary
+    entry maps to its substring, the distinct substrings become a new sorted
+    dictionary, and the device work is a single int32 gather through the
+    code remap table.
+    """
+    child: Expr
+    start: int  # 1-based (SQL semantics)
+    length: int
+
+    def eval(self, ctx):
+        ct = self.child.eval(ctx)
+        assert ct.dtype.id == TypeId.VARCHAR and ct.dictionary is not None
+        subs = np.array([s[self.start - 1 : self.start - 1 + self.length]
+                         for s in ct.dictionary])
+        new_dict, remap = np.unique(subs, return_inverse=True)
+        codes = jnp.asarray(remap.astype(np.int32))[ct.array]
+        return Typed(codes, VARCHAR, new_dict)
+
+
+@dataclasses.dataclass(eq=False)
 class ExtractYear(Expr):
     child: Expr
 

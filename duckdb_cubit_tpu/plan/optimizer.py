@@ -120,7 +120,14 @@ def _match_conjunct(conj: E.Expr, table):
 
 
 def match_index_filters(scan: P.TableScan, table) -> None:
-    """Split scan.filters into index_filters + residual filters, in place."""
+    """Split scan.filters into index_filters + residual filters, in place.
+
+    Idempotent: plans are DAGs (shared subtrees, e.g. Q17's join feeding
+    both the aggregate and the re-probe), so a scan may be visited twice.
+    """
+    if getattr(scan, "_index_matched", False):
+        return
+    scan._index_matched = True
     conjuncts = []
     for f in scan.filters:
         conjuncts.extend(split_conjuncts(f))
@@ -170,22 +177,34 @@ def match_index_filters(scan: P.TableScan, table) -> None:
     scan.filters = residual
 
 
-def push_filters(op: P.PhysicalOperator) -> P.PhysicalOperator:
-    """Merge Filter nodes into their child TableScan where possible."""
-    op.children = [push_filters(c) for c in op.children]
+def push_filters(op: P.PhysicalOperator,
+                 seen: dict | None = None) -> P.PhysicalOperator:
+    """Merge Filter nodes into their child TableScan where possible.
+
+    DAG-safe: shared subtrees are rewritten once (memoized by identity).
+    """
+    if seen is None:
+        seen = {}
+    if id(op) in seen:
+        return seen[id(op)]
+    op.children = [push_filters(c, seen) for c in op.children]
+    out = op
     if isinstance(op, P.Filter) and isinstance(op.children[0], P.TableScan):
         scan = op.children[0]
         scan.filters = scan.filters + split_conjuncts(op.expr)
-        if scan.projection is not None:
-            pass  # projection already includes filter columns at execute
-        return scan
-    return op
+        out = scan
+    seen[id(op)] = out
+    return out
 
 
 def optimize(plan: P.PhysicalOperator, catalog) -> P.PhysicalOperator:
     plan = push_filters(plan)
+    seen = set()
 
     def walk(op):
+        if id(op) in seen:
+            return
+        seen.add(id(op))
         for c in op.children:
             walk(c)
         if isinstance(op, P.TableScan):

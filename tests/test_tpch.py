@@ -22,7 +22,7 @@ def executor():
 
 @pytest.mark.parametrize("q", sorted(queries.QUERIES))
 def test_query_matches_golden_answer(executor, q):
-    rel = executor.execute(queries.get_query(q))
+    rel = queries.run(executor, q)
     rows = R.to_strings(rel)
     problems = answers.compare(rows, 0.01, q)
     assert not problems, problems[:5]

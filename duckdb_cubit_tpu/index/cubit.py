@@ -62,6 +62,7 @@ class CubitIndex:
         self.range_encode = range_encode
         self.cum_words: jnp.ndarray | None = None
         self._pending: list[tuple[int, int, int]] = []  # (row, old_bin, new_bin)
+        self._query_cache: dict = {}  # (epoch, op, args) -> device words
 
     # ------------------------------------------------------------- building
     def bin_of(self, values: np.ndarray) -> np.ndarray:
@@ -110,13 +111,20 @@ class CubitIndex:
 
     # -------------------------------------------------------------- queries
     def query_eq(self, value) -> jnp.ndarray:
-        b = int(self.bin_of(np.asarray([value]))[0]) if self.bin_edges is not None else int(value)
-        return self.words[b]
+        key = (self.epoch, "eq", value)
+        if key not in self._query_cache:
+            b = int(self.bin_of(np.asarray([value]))[0]) \
+                if self.bin_edges is not None else int(value)
+            self._query_cache[key] = self.words[b]
+        return self._query_cache[key]
 
     def query_isin(self, bins: list[int]) -> jnp.ndarray:
-        # disjoint bins: OR == sum
-        sel = self.words[jnp.asarray(sorted(bins), dtype=jnp.int32)]
-        return jnp.sum(sel, axis=0, dtype=jnp.uint32)
+        key = (self.epoch, "isin", tuple(sorted(bins)))
+        if key not in self._query_cache:
+            # disjoint bins: OR == sum
+            sel = self.words[jnp.asarray(sorted(bins), dtype=jnp.int32)]
+            self._query_cache[key] = jnp.sum(sel, axis=0, dtype=jnp.uint32)
+        return self._query_cache[key]
 
     def range_bins(self, lo=None, hi=None, lo_inclusive=True,
                    hi_inclusive=True):
@@ -154,6 +162,14 @@ class CubitIndex:
                     hi_inclusive=True) -> RangeQueryResult:
         """Candidate bitvector for value in [lo, hi] (None = unbounded)."""
         blo, bhi, refine = self.range_bins(lo, hi, lo_inclusive, hi_inclusive)
+        key = (self.epoch, "range", blo, bhi)
+        if key in self._query_cache:
+            return RangeQueryResult(self._query_cache[key], not refine, refine)
+        out = self._range_words(blo, bhi)
+        self._query_cache[key] = out
+        return RangeQueryResult(out, not refine, refine)
+
+    def _range_words(self, blo, bhi):
         if bhi < blo:
             words = jnp.zeros(self.n_words, jnp.uint32)
         elif self.cum_words is not None:
@@ -165,7 +181,7 @@ class CubitIndex:
                 words = jnp.bitwise_xor(hi_row, self.cum_words[blo - 1])
         else:
             words = bm.or_range(self.words, blo, bhi)
-        return RangeQueryResult(words, not refine, refine)
+        return words
 
     def count(self, words: jnp.ndarray) -> int:
         return int(bm.popcount(words))
@@ -218,5 +234,6 @@ class CubitIndex:
         ).reshape(self.n_bins, self.n_words)
         self._rebuild_cum()
         self._pending.clear()
+        self._query_cache.clear()
         self.epoch += 1
         return self.epoch

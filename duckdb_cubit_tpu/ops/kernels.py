@@ -64,36 +64,58 @@ def combine_hi_lo(hi, lo) -> int:
     return (int(hi) << 32) + int(lo)
 
 
+# below this group count, grouped reductions unroll into per-group masked
+# reduces (XLA fuses them into a few passes over the data) — far faster on
+# TPU than scatter, which serializes
+SMALL_GROUP_LIMIT = 32
+
+
 def group_sum_exact(codes: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray,
                     num_groups: int):
-    """Exact grouped int64 sum via scatter-add -> (hi, lo) arrays.
+    """Exact grouped int64 sum -> (hi, lo) arrays.
 
-    Integer scatter-add is order-independent, so this is deterministic on any
-    backend.  `codes` must be in [0, num_groups); masked-out rows are routed
-    to group 0 with value 0.
+    Integer adds are order-independent, so both strategies (unrolled masked
+    reduces for small domains, scatter-add otherwise) are deterministic.
+    `codes` must be in [0, num_groups); masked-out rows are dropped.
     """
-    safe_codes = jnp.where(mask, codes, 0)
     hi, lo = _split_hi_lo(jnp.where(mask, values, jnp.int64(0)))
+    if num_groups <= SMALL_GROUP_LIMIT:
+        ghi = jnp.stack([jnp.sum(jnp.where(codes == g, hi, jnp.int64(0)))
+                         for g in range(num_groups)])
+        glo = jnp.stack([jnp.sum(jnp.where(codes == g, lo, jnp.int64(0)))
+                         for g in range(num_groups)])
+        return ghi, glo
+    safe_codes = jnp.where(mask, codes, 0)
     ghi = jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(hi)
     glo = jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(lo)
     return ghi, glo
 
 
 def group_count(codes: jnp.ndarray, mask: jnp.ndarray, num_groups: int):
+    if num_groups <= SMALL_GROUP_LIMIT:
+        return jnp.stack([
+            jnp.sum(jnp.where(mask & (codes == g), jnp.int64(1), jnp.int64(0)))
+            for g in range(num_groups)])
     safe_codes = jnp.where(mask, codes, 0)
     ones = jnp.where(mask, jnp.int64(1), jnp.int64(0))
     return jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(ones)
 
 
 def group_min(codes, values, mask, num_groups, sentinel):
-    safe_codes = jnp.where(mask, codes, 0)
     vals = jnp.where(mask, values, sentinel)
+    if num_groups <= SMALL_GROUP_LIMIT:
+        return jnp.stack([jnp.min(jnp.where(codes == g, vals, sentinel))
+                          for g in range(num_groups)])
+    safe_codes = jnp.where(mask, codes, 0)
     return jnp.full(num_groups, sentinel, values.dtype).at[safe_codes].min(vals)
 
 
 def group_max(codes, values, mask, num_groups, sentinel):
-    safe_codes = jnp.where(mask, codes, 0)
     vals = jnp.where(mask, values, sentinel)
+    if num_groups <= SMALL_GROUP_LIMIT:
+        return jnp.stack([jnp.max(jnp.where(codes == g, vals, sentinel))
+                          for g in range(num_groups)])
+    safe_codes = jnp.where(mask, codes, 0)
     return jnp.full(num_groups, sentinel, values.dtype).at[safe_codes].max(vals)
 
 

@@ -38,6 +38,7 @@ class RelColumn:
     array: jnp.ndarray
     dtype: DataType
     dictionary: np.ndarray | None = None
+    domain: np.ndarray | None = None  # sorted distinct values (CHAR1/small int)
 
 
 @dataclasses.dataclass
@@ -65,7 +66,8 @@ class Relation:
                capacity: int) -> "Relation":
         safe = jnp.clip(indices, 0, self.capacity - 1)
         cols = {
-            n: RelColumn(jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary)
+            n: RelColumn(jnp.take(c.array, safe, axis=0), c.dtype,
+                         c.dictionary, c.domain)
             for n, c in self.columns.items()
         }
         return Relation(cols, valid, capacity)
@@ -143,7 +145,7 @@ class PhysicalOperator:
 
 def relation_from_table(table: Table) -> Relation:
     cols = {
-        n: RelColumn(c.data, c.dtype, c.dictionary)
+        n: RelColumn(c.data, c.dtype, c.dictionary, getattr(c, "domain", None))
         for n, c in table.columns.items()
     }
     return Relation(cols, table.row_mask(), table.capacity)
@@ -235,7 +237,9 @@ class TableScan(PhysicalOperator):
             words = self._words
         rel = Relation(
             {n: RelColumn(cols[n], table.columns[n].dtype,
-                          table.columns[n].dictionary) for n in cols},
+                          table.columns[n].dictionary,
+                          getattr(table.columns[n], "domain", None))
+             for n in cols},
             jnp.arange(table.capacity) < table.num_rows,
             table.capacity)
         mask = rel.mask
@@ -482,20 +486,29 @@ class GroupAggregate(PhysicalOperator):
             return self._ungrouped(rel, evaluated)
         # choose grouping strategy
         dense_sizes = []
+        dense_codes = []
         dense_ok = True
         for k in self.keys:
             c = rel.columns[k]
             if c.dtype.id == TypeId.VARCHAR and c.dictionary is not None:
                 dense_sizes.append(len(c.dictionary))
+                dense_codes.append(c.array)
+            elif c.dtype.id == TypeId.CHAR1 and c.domain is not None:
+                # compact byte values to [0, |domain|) via a 256-entry LUT
+                lut = np.zeros(256, np.int32)
+                lut[c.domain] = np.arange(len(c.domain), dtype=np.int32)
+                dense_sizes.append(len(c.domain))
+                dense_codes.append(jnp.asarray(lut)[c.array.astype(jnp.int32)])
             elif c.dtype.id == TypeId.CHAR1:
                 dense_sizes.append(256)
+                dense_codes.append(c.array)
             else:
                 dense_ok = False
                 break
         total = int(np.prod(dense_sizes)) if dense_ok else None
         if dense_ok and total <= self.dense_domain_limit and not self.carry:
             codes, num_groups = groupby_ops.mixed_radix_codes(
-                [rel.columns[k].array for k in self.keys], dense_sizes)
+                dense_codes, dense_sizes)
             gids, valid = codes, rel.mask
             rep = None
         else:
@@ -518,17 +531,24 @@ class GroupAggregate(PhysicalOperator):
             sizes = []
             for k in self.keys:
                 c = rel.columns[k]
-                sizes.append(len(c.dictionary) if c.dtype.id == TypeId.VARCHAR
-                             else 256)
+                if c.dtype.id == TypeId.VARCHAR:
+                    sizes.append(len(c.dictionary))
+                elif c.dtype.id == TypeId.CHAR1 and c.domain is not None:
+                    sizes.append(len(c.domain))
+                else:
+                    sizes.append(256)
             gcodes = jnp.arange(num_groups, dtype=jnp.int32)
             rem = gcodes
             for k, size in reversed(list(zip(self.keys, sizes))):
                 c = rel.columns[k]
                 kv = rem % size
                 rem = rem // size
+                if c.dtype.id == TypeId.CHAR1 and c.domain is not None:
+                    kv = jnp.asarray(c.domain)[kv]
                 out_cols[k] = RelColumn(
-                    kv.astype(np.int32 if c.dtype.id == TypeId.VARCHAR else jnp.uint8),
-                    c.dtype, c.dictionary)
+                    kv.astype(np.int32 if c.dtype.id == TypeId.VARCHAR
+                              else jnp.uint8),
+                    c.dtype, c.dictionary, c.domain)
             out_cols = dict(reversed(list(out_cols.items())))
         else:
             safe_rep = jnp.clip(rep, 0, rel.capacity - 1)

@@ -47,6 +47,7 @@ class Column:
     data: jnp.ndarray  # padded device array
     dictionary: np.ndarray | None = None  # sorted |S bytes, host (VARCHAR)
     zone_map: ZoneMap | None = None
+    domain: np.ndarray | None = None  # sorted distinct values (CHAR1)
 
     @property
     def dict_size(self) -> int:
@@ -141,12 +142,16 @@ def from_numpy(
             TypeId.VARCHAR, TypeId.CHAR1,
         ):
             zone_map = _build_zone_map(dev_np, num_rows) if num_rows else None
+        domain = None
+        if dtype.id == TypeId.CHAR1 and num_rows:
+            domain = np.unique(dev_np[:num_rows])
         columns[col_name] = Column(
             name=col_name,
             dtype=dtype,
             data=jnp.asarray(padded),
             dictionary=dictionary,
             zone_map=zone_map,
+            domain=domain,
         )
     return Table(name=name, columns=columns, num_rows=num_rows, capacity=capacity)
 
@@ -190,8 +195,11 @@ def from_encoded(name: str, cols: dict[str, dict],
             TypeId.VARCHAR, TypeId.CHAR1,
         ):
             zone_map = _build_zone_map(dev_np, num_rows)
+        domain = None
+        if dtype.id == TypeId.CHAR1 and num_rows:
+            domain = np.unique(dev_np[:num_rows])
         columns[col_name] = Column(col_name, dtype, jnp.asarray(padded),
-                                   dictionary, zone_map)
+                                   dictionary, zone_map, domain)
     return Table(name=name, columns=columns, num_rows=num_rows,
                  capacity=capacity)
 

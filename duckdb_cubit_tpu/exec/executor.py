@@ -95,16 +95,20 @@ class Executor:
     def _execute_compiled(self, plan: PhysicalOperator):
         import jax
 
-        from ..plan.physical import TableScan
+        from ..plan.physical import HashJoin, TableScan
 
         # Phase A: shape planning (tiny eager word ops + popcount pulls)
         ctx_a = ExecContext(self.catalog, self.config, None)
         plan.prepare(ctx_a)
 
-        # assemble flat device inputs from every scan
-        spec = []     # (scan op, 'col'/'words', name)
+        # assemble flat device inputs from every scan / PK-join
+        spec = []     # (op, kind, name)
         arrays = []
+        seen_ops = set()
         for op in plan.walk():
+            if id(op) in seen_ops:
+                continue
+            seen_ops.add(id(op))
             if isinstance(op, TableScan):
                 table = self.catalog.table(op.table_name)
                 for cname in op.needed_columns(table):
@@ -113,6 +117,10 @@ class Executor:
                 if getattr(op, "_words", None) is not None:
                     spec.append((op, "words", None))
                     arrays.append(op._words)
+            elif isinstance(op, HashJoin) and getattr(op, "_pk", None):
+                base, col, _ = op._pk
+                spec.append((op, "pk_lut", None))
+                arrays.append(self.catalog.table(base).pk_indexes[col].lut)
 
         sig = (plan.signature(),
                tuple((a.shape, str(a.dtype)) for a in arrays))
@@ -128,8 +136,10 @@ class Executor:
                     slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
                     if kind == "col":
                         slot["cols"][name] = arr
-                    else:
+                    elif kind == "words":
                         slot["words"] = arr
+                    else:
+                        slot["pk_lut"] = arr
                 rel = plan_ref.execute(ctx)
                 meta_box["names"] = list(rel.columns.keys())
                 meta_box["meta"] = [(c.dtype, c.dictionary)

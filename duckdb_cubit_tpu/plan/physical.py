@@ -143,6 +143,26 @@ class PhysicalOperator:
             yield from c.walk()
 
 
+def static_base_table(op: PhysicalOperator) -> str | None:
+    """Which base table's row space an operator's output stays aligned to.
+
+    Mask-preserving operators (filters, projections, semi/anti joins and the
+    probe side of single-match joins) keep the base table's capacity and row
+    order, which lets joins against them use direct-address PK indexes.
+    """
+    if isinstance(op, TableScan):
+        return None if getattr(op, "_decode_cap", None) is not None \
+            else op.table_name
+    if isinstance(op, (Filter, Limit)):
+        return static_base_table(op.children[0])
+    if isinstance(op, Project):
+        return static_base_table(op.children[0])
+    if isinstance(op, HashJoin):
+        if op.join_type in ("semi", "anti") or op.single_match:
+            return static_base_table(op.children[0])
+    return None
+
+
 def relation_from_table(table: Table) -> Relation:
     cols = {
         n: RelColumn(c.data, c.dtype, c.dictionary, getattr(c, "domain", None))
@@ -385,9 +405,44 @@ class HashJoin(PhysicalOperator):
             mask = mask & (pa.astype(jnp.int64) == ba.astype(jnp.int64))
         return mask
 
+    def prepare(self, ctx: ExecContext):
+        super().prepare(ctx)
+        # direct-address PK join eligibility: single-column key against a
+        # mask-aligned base-table relation that has a dense PK index
+        self._pk = None
+        if len(self.build_keys) == 1:
+            base = static_base_table(self.children[1])
+            if base is not None:
+                table = ctx.catalog.table(base)
+                pk = table.pk_indexes.get(self.build_keys[0])
+                if pk is not None:
+                    self._pk = (base, self.build_keys[0], pk.max_key)
+
+    def _pk_probe(self, ctx, probe_rel, build_rel):
+        base, col, max_key = self._pk
+        inputs = ctx.scan_inputs.get(id(self))
+        lut = inputs["pk_lut"] if inputs is not None else \
+            ctx.catalog.table(base).pk_indexes[col].lut
+        k = probe_rel.columns[self.probe_keys[0]].array.astype(jnp.int64)
+        in_range = (k >= 0) & (k <= max_key) & probe_rel.mask
+        row = lut[jnp.clip(k, 0, max_key)]
+        present = row >= 0
+        alive = build_rel.mask[jnp.maximum(row, 0)]
+        found = in_range & present & alive
+        return jnp.where(found, row, -1), found
+
     def _execute(self, ctx):
         probe_rel = self.children[0].execute(ctx)
         build_rel = self.children[1].execute(ctx)
+        if not hasattr(self, "_pk"):
+            self.prepare(ctx)
+        if self._pk is not None and (self.single_match
+                                     or self.join_type in ("semi", "anti")):
+            build_row, found = self._pk_probe(ctx, probe_rel, build_rel)
+            if self.join_type in ("semi", "anti"):
+                m = ~found if self.join_type == "anti" else found
+                return probe_rel.with_mask(m & probe_rel.mask)
+            return self._gather_single(probe_rel, build_rel, build_row, found)
         bkey = self._join_keys(build_rel, self.build_keys)
         pkey = self._join_keys(probe_rel, self.probe_keys)
         bs = join_ops.build(bkey, build_rel.mask)
@@ -400,20 +455,26 @@ class HashJoin(PhysicalOperator):
             if len(self.probe_keys) > 2:
                 found = self._verify_multi_key(probe_rel, build_rel,
                                                build_row, found)
-            safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
-            cols = dict(probe_rel.columns)
-            for n, c in build_rel.columns.items():
-                out_name = self.build_prefix + n
-                if out_name not in cols:
-                    cols[out_name] = RelColumn(
-                        jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary)
-            if self.join_type == "left":
-                mask = probe_rel.mask
-                cols["__join_found__"] = RelColumn(found, BOOL, None)
-            else:
-                mask = probe_rel.mask & found
-            return Relation(cols, mask, probe_rel.capacity)
-        # expansion join
+            return self._gather_single(probe_rel, build_rel, build_row, found)
+        return self._expand(ctx, probe_rel, build_rel, bs, pkey)
+
+    def _gather_single(self, probe_rel, build_rel, build_row, found):
+        safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
+        cols = dict(probe_rel.columns)
+        for n, c in build_rel.columns.items():
+            out_name = self.build_prefix + n
+            if out_name not in cols:
+                cols[out_name] = RelColumn(
+                    jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary,
+                    c.domain)
+        if self.join_type == "left":
+            mask = probe_rel.mask
+            cols["__join_found__"] = RelColumn(found, BOOL, None)
+        else:
+            mask = probe_rel.mask & found
+        return Relation(cols, mask, probe_rel.capacity)
+
+    def _expand(self, ctx, probe_rel, build_rel, bs, pkey):
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
         cap = self.out_capacity or pad_count(probe_rel.capacity)
         out_probe, out_build, total = join_ops.expand_matches(
@@ -436,7 +497,8 @@ class HashJoin(PhysicalOperator):
 
     def _self_signature(self):
         return (f"hash_join[{self.join_type};{self.probe_keys};{self.build_keys};"
-                f"{self.single_match};{self.out_capacity};{self.build_prefix}]")
+                f"{self.single_match};{self.out_capacity};{self.build_prefix};"
+                f"pk={getattr(self, '_pk', None)}]")
 
 
 @dataclasses.dataclass

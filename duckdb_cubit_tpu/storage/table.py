@@ -82,6 +82,7 @@ class Table:
     num_rows: int
     capacity: int
     indexes: dict = dataclasses.field(default_factory=dict)  # col -> CubitIndex
+    pk_indexes: dict = dataclasses.field(default_factory=dict)  # col -> DirectPKIndex
 
     def column(self, name: str) -> Column:
         return self.columns[name]

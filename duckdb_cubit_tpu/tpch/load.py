@@ -13,9 +13,10 @@ import os
 import numpy as np
 
 from ..index.cubit import CubitIndex
+from ..index.pk import DirectPKIndex
 from ..storage.table import Catalog, Table, encode_strings, from_numpy
 from . import dbgen
-from .schema import DEFAULT_INDEXES, SCHEMA
+from .schema import DEFAULT_INDEXES, PK_COLUMNS, SCHEMA
 
 _CACHE: dict[float, Catalog] = {}
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -86,6 +87,16 @@ def build_indexes(table: Table, spec: dict):
         table.indexes[col_name] = idx
 
 
+def build_pk_index(table: Table):
+    col_name = PK_COLUMNS.get(table.name)
+    if col_name is None:
+        return
+    keys = np.asarray(table.columns[col_name].data[: table.num_rows])
+    pk = DirectPKIndex.build(col_name, keys, table.num_rows)
+    if pk is not None:
+        table.pk_indexes[col_name] = pk
+
+
 def load_catalog(sf: float = 0.01, with_indexes: bool = True,
                  cache: bool = True, disk_cache: bool = True) -> Catalog:
     if cache and sf in _CACHE:
@@ -100,14 +111,18 @@ def load_catalog(sf: float = 0.01, with_indexes: bool = True,
             _save_disk_cache(sf, tables)
         for name, cols in tables.items():
             t = from_numpy(name, cols, SCHEMA.get(name, {}))
-            if with_indexes and name in DEFAULT_INDEXES:
-                build_indexes(t, DEFAULT_INDEXES[name])
+            if with_indexes:
+                if name in DEFAULT_INDEXES:
+                    build_indexes(t, DEFAULT_INDEXES[name])
+                build_pk_index(t)
             catalog.register(t)
     else:
         for name, cols in encoded.items():
             t = from_encoded(name, cols, SCHEMA.get(name, {}))
-            if with_indexes and name in DEFAULT_INDEXES:
-                build_indexes(t, DEFAULT_INDEXES[name])
+            if with_indexes:
+                if name in DEFAULT_INDEXES:
+                    build_indexes(t, DEFAULT_INDEXES[name])
+                build_pk_index(t)
             catalog.register(t)
     if cache:
         _CACHE[sf] = catalog

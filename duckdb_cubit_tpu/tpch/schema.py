@@ -39,6 +39,17 @@ def month_edges(first_year: int = 1992, last_year: int = 1998) -> np.ndarray:
     return np.array(edges, dtype=np.int64)
 
 
+# Primary-key columns with dense direct-address indexes (join accelerators,
+# the analog of the reference's ART primary-key indexes)
+PK_COLUMNS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "supplier": "s_suppkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+}
+
 # CUBIT indexes built at load: column -> (n_bins, bin_edges | None).
 # Identity-binned low-cardinality columns index their raw device codes;
 # edge-binned columns (dates, cents quantities) get exact answers whenever

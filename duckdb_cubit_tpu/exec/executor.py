@@ -117,8 +117,9 @@ class Executor:
                 if getattr(op, "_words", None) is not None:
                     spec.append((op, "words", None))
                     arrays.append(op._words)
-            elif isinstance(op, HashJoin) and getattr(op, "_pk", None):
-                base, col, _ = op._pk
+            elif isinstance(op, HashJoin) and (
+                    getattr(op, "_pk", None) or getattr(op, "_reverse_pk", None)):
+                base, col, _ = op._pk or op._reverse_pk
                 spec.append((op, "pk_lut", None))
                 arrays.append(self.catalog.table(base).pk_indexes[col].lut)
 

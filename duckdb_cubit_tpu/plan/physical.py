@@ -410,6 +410,7 @@ class HashJoin(PhysicalOperator):
         # direct-address PK join eligibility: single-column key against a
         # mask-aligned base-table relation that has a dense PK index
         self._pk = None
+        self._reverse_pk = None
         if len(self.build_keys) == 1:
             base = static_base_table(self.children[1])
             if base is not None:
@@ -417,6 +418,17 @@ class HashJoin(PhysicalOperator):
                 pk = table.pk_indexes.get(self.build_keys[0])
                 if pk is not None:
                     self._pk = (base, self.build_keys[0], pk.max_key)
+        if (self._pk is None and self.join_type in ("semi", "anti")
+                and len(self.probe_keys) == 1):
+            # reverse semi-join: the PROBE side owns the PK (orders EXISTS
+            # lineitem): scatter the build side's FK hits into a probe-row
+            # flag array — one scatter instead of a hash build
+            base = static_base_table(self.children[0])
+            if base is not None:
+                table = ctx.catalog.table(base)
+                pk = table.pk_indexes.get(self.probe_keys[0])
+                if pk is not None:
+                    self._reverse_pk = (base, self.probe_keys[0], pk.max_key)
 
     def _pk_probe(self, ctx, probe_rel, build_rel):
         base, col, max_key = self._pk
@@ -443,6 +455,20 @@ class HashJoin(PhysicalOperator):
                 m = ~found if self.join_type == "anti" else found
                 return probe_rel.with_mask(m & probe_rel.mask)
             return self._gather_single(probe_rel, build_rel, build_row, found)
+        if self._reverse_pk is not None:
+            base, col, max_key = self._reverse_pk
+            inputs = ctx.scan_inputs.get(id(self))
+            lut = inputs["pk_lut"] if inputs is not None else \
+                ctx.catalog.table(base).pk_indexes[col].lut
+            k = build_rel.columns[self.build_keys[0]].array.astype(jnp.int64)
+            ok = build_rel.mask & (k >= 0) & (k <= max_key)
+            rows = lut[jnp.clip(k, 0, max_key)]
+            ok = ok & (rows >= 0)
+            tgt = jnp.where(ok, rows, probe_rel.capacity)
+            hit = jnp.zeros(probe_rel.capacity + 1, jnp.bool_).at[tgt].set(
+                True, mode="drop")[: probe_rel.capacity]
+            m = ~hit if self.join_type == "anti" else hit
+            return probe_rel.with_mask(probe_rel.mask & m)
         bkey = self._join_keys(build_rel, self.build_keys)
         pkey = self._join_keys(probe_rel, self.probe_keys)
         bs = join_ops.build(bkey, build_rel.mask)
@@ -498,7 +524,8 @@ class HashJoin(PhysicalOperator):
     def _self_signature(self):
         return (f"hash_join[{self.join_type};{self.probe_keys};{self.build_keys};"
                 f"{self.single_match};{self.out_capacity};{self.build_prefix};"
-                f"pk={getattr(self, '_pk', None)}]")
+                f"pk={getattr(self, '_pk', None)};"
+                f"rpk={getattr(self, '_reverse_pk', None)}]")
 
 
 @dataclasses.dataclass

@@ -1,0 +1,140 @@
+"""SQL abstract syntax tree (parse targets).
+
+Analog of the reference's parsed statement / expression nodes
+(reference src/parser/): a compact dataclass hierarchy bridging the parser
+and the binder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class ColumnRef:
+    table: str | None
+    name: str
+
+
+@dataclasses.dataclass
+class Literal:
+    value: Any
+    type_hint: str | None = None  # 'date' | 'interval_day' | ...
+
+
+@dataclasses.dataclass
+class IntervalLit:
+    value: int
+    unit: str  # day | month | year
+
+
+@dataclasses.dataclass
+class BinaryOp:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclasses.dataclass
+class UnaryOp:
+    op: str  # not | -
+    child: Any
+
+
+@dataclasses.dataclass
+class FuncCall:
+    name: str
+    args: list
+    distinct: bool = False
+    star: bool = False  # count(*)
+
+
+@dataclasses.dataclass
+class CaseExpr:
+    whens: list  # [(cond, result)]
+    default: Any
+
+
+@dataclasses.dataclass
+class BetweenExpr:
+    expr: Any
+    low: Any
+    high: Any
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class InExpr:
+    expr: Any
+    values: Any  # list of literals or SelectStmt
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class LikeExpr:
+    expr: Any
+    pattern: str
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class ExistsExpr:
+    query: "SelectStmt"
+    negated: bool = False
+
+
+@dataclasses.dataclass
+class SubqueryExpr:
+    query: "SelectStmt"
+
+
+@dataclasses.dataclass
+class ExtractExpr:
+    field: str
+    child: Any
+
+
+@dataclasses.dataclass
+class SubstringExpr:
+    child: Any
+    start: Any
+    length: Any
+
+
+@dataclasses.dataclass
+class CastExpr:
+    child: Any
+    target: str
+
+
+@dataclasses.dataclass
+class SelectItem:
+    expr: Any
+    alias: str | None
+
+
+@dataclasses.dataclass
+class TableRef:
+    name: str
+    alias: str | None
+    subquery: "SelectStmt | None" = None
+    column_aliases: list | None = None
+
+
+@dataclasses.dataclass
+class OrderItem:
+    expr: Any
+    descending: bool
+
+
+@dataclasses.dataclass
+class SelectStmt:
+    items: list[SelectItem]
+    tables: list[TableRef]
+    where: Any | None
+    group_by: list
+    having: Any | None
+    order_by: list[OrderItem]
+    limit: int | None
+    distinct: bool = False

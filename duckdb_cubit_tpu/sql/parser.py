@@ -1,0 +1,368 @@
+"""Recursive-descent SQL parser for the engine's SQL subset.
+
+Analog of the reference's parser layer (reference src/parser/ +
+third_party/libpg_query, Postgres grammar): covers the SELECT grammar the
+TPC-H workload exercises — expressions with precedence, CASE, CAST,
+EXTRACT, SUBSTRING, date/interval literals, [NOT] IN/LIKE/BETWEEN/EXISTS,
+scalar subqueries, comma and explicit JOIN table lists, GROUP BY/HAVING/
+ORDER BY/LIMIT.
+"""
+
+from __future__ import annotations
+
+from . import ast as A
+from .lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # ------------------------------------------------------------ plumbing
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, value: str | None = None) -> Token | None:
+        t = self.peek()
+        if t.kind == kind and (value is None or t.value == value):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, value: str | None = None) -> Token:
+        t = self.accept(kind, value)
+        if t is None:
+            got = self.peek()
+            raise ParseError(f"expected {value or kind}, got {got.kind} "
+                             f"{got.value!r} at {got.pos}")
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.value in words
+
+    # ------------------------------------------------------------- entry
+    def parse(self) -> A.SelectStmt:
+        stmt = self.parse_select()
+        self.accept("op", ";")
+        self.expect("eof")
+        return stmt
+
+    def parse_select(self) -> A.SelectStmt:
+        self.expect("kw", "select")
+        distinct = bool(self.accept("kw", "distinct"))
+        items = [self.parse_select_item()]
+        while self.accept("op", ","):
+            items.append(self.parse_select_item())
+        tables: list[A.TableRef] = []
+        where = None
+        group_by: list = []
+        having = None
+        order_by: list[A.OrderItem] = []
+        limit = None
+        if self.accept("kw", "from"):
+            tables.append(self.parse_table_ref())
+            while True:
+                if self.accept("op", ","):
+                    tables.append(self.parse_table_ref())
+                    continue
+                joined = self.parse_join_suffix(tables)
+                if joined:
+                    continue
+                break
+        if self.accept("kw", "where"):
+            where = self.parse_expr()
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group_by.append(self.parse_expr())
+            while self.accept("op", ","):
+                group_by.append(self.parse_expr())
+        if self.accept("kw", "having"):
+            having = self.parse_expr()
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order_by.append(self.parse_order_item())
+            while self.accept("op", ","):
+                order_by.append(self.parse_order_item())
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("number").value)
+        return A.SelectStmt(items, tables, where, group_by, having,
+                            order_by, limit, distinct)
+
+    def parse_join_suffix(self, tables: list) -> bool:
+        """INNER/LEFT JOIN t ON cond — the ON condition folds into WHERE
+        (outer-ness is recorded on the TableRef for the binder)."""
+        join_type = None
+        if self.at_kw("join", "inner"):
+            self.accept("kw", "inner")
+            self.expect("kw", "join")
+            join_type = "inner"
+        elif self.at_kw("left"):
+            self.next()
+            self.accept("kw", "outer")
+            self.expect("kw", "join")
+            join_type = "left"
+        else:
+            return False
+        ref = self.parse_table_ref()
+        ref.join_type = join_type  # type: ignore[attr-defined]
+        self.expect("kw", "on")
+        cond = self.parse_expr()
+        ref.join_cond = cond  # type: ignore[attr-defined]
+        tables.append(ref)
+        return True
+
+    def parse_table_ref(self) -> A.TableRef:
+        if self.accept("op", "("):
+            sub = self.parse_select()
+            self.expect("op", ")")
+            self.accept("kw", "as")
+            alias_t = self.accept("ident")
+            col_aliases = None
+            if self.accept("op", "("):
+                col_aliases = [self.expect("ident").value]
+                while self.accept("op", ","):
+                    col_aliases.append(self.expect("ident").value)
+                self.expect("op", ")")
+            return A.TableRef(name="", alias=alias_t.value if alias_t else None,
+                              subquery=sub, column_aliases=col_aliases)
+        name = self.expect("ident").value
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("ident").value
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        return A.TableRef(name=name, alias=alias)
+
+    def parse_select_item(self) -> A.SelectItem:
+        if self.peek().kind == "op" and self.peek().value == "*":
+            self.next()
+            return A.SelectItem(A.ColumnRef(None, "*"), None)
+        expr = self.parse_expr()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = (self.accept("ident") or self.expect("kw")).value
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        return A.SelectItem(expr, alias)
+
+    def parse_order_item(self) -> A.OrderItem:
+        e = self.parse_expr()
+        desc = False
+        if self.accept("kw", "desc"):
+            desc = True
+        else:
+            self.accept("kw", "asc")
+        return A.OrderItem(e, desc)
+
+    # ---------------------------------------------------------- expressions
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.accept("kw", "or"):
+            left = A.BinaryOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.accept("kw", "and"):
+            left = A.BinaryOp("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.accept("kw", "not"):
+            return A.UnaryOp("not", self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self):
+        if self.at_kw("exists"):
+            self.next()
+            self.expect("op", "(")
+            q = self.parse_select()
+            self.expect("op", ")")
+            return A.ExistsExpr(q)
+        left = self.parse_additive()
+        negated = bool(self.accept("kw", "not"))
+        if self.accept("kw", "between"):
+            low = self.parse_additive()
+            self.expect("kw", "and")
+            high = self.parse_additive()
+            return A.BetweenExpr(left, low, high, negated)
+        if self.accept("kw", "in"):
+            self.expect("op", "(")
+            if self.at_kw("select"):
+                sub = self.parse_select()
+                self.expect("op", ")")
+                return A.InExpr(left, sub, negated)
+            values = [self.parse_additive()]
+            while self.accept("op", ","):
+                values.append(self.parse_additive())
+            self.expect("op", ")")
+            return A.InExpr(left, values, negated)
+        if self.accept("kw", "like"):
+            pat = self.expect("string").value
+            return A.LikeExpr(left, pat, negated)
+        if negated:
+            raise ParseError("dangling NOT before comparison")
+        t = self.peek()
+        if t.kind == "op" and t.value in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.next()
+            op = {"=": "==", "<>": "!=", "!=": "!="}.get(t.value, t.value)
+            right = self.parse_additive()
+            return A.BinaryOp(op, left, right)
+        return left
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("+", "-"):
+                self.next()
+                left = A.BinaryOp(t.value, left, self.parse_multiplicative())
+            else:
+                return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("*", "/", "%"):
+                self.next()
+                left = A.BinaryOp(t.value, left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self):
+        if self.accept("op", "-"):
+            return A.UnaryOp("-", self.parse_unary())
+        self.accept("op", "+")
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            if self.at_kw("select"):
+                q = self.parse_select()
+                self.expect("op", ")")
+                return A.SubqueryExpr(q)
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "number":
+            self.next()
+            v = t.value
+            return A.Literal(float(v) if "." in v else int(v),
+                             "decimal" if "." in v else None)
+        if t.kind == "string":
+            self.next()
+            return A.Literal(t.value, "string")
+        if self.at_kw("true"):
+            self.next()
+            return A.Literal(True)
+        if self.at_kw("false"):
+            self.next()
+            return A.Literal(False)
+        if self.at_kw("date"):
+            self.next()
+            s = self.expect("string").value
+            return A.Literal(s, "date")
+        if self.at_kw("interval"):
+            self.next()
+            v = int(self.expect("string").value)
+            unit = self.next().value  # day/month/year keyword
+            return A.IntervalLit(v, unit.rstrip("s"))
+        if self.at_kw("case"):
+            return self.parse_case()
+        if self.at_kw("cast"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_expr()
+            self.expect("kw", "as")
+            target = self.next().value
+            # swallow type parameters e.g. decimal(12,2)
+            if self.accept("op", "("):
+                while not self.accept("op", ")"):
+                    self.next()
+            self.expect("op", ")")
+            return A.CastExpr(e, target)
+        if self.at_kw("extract"):
+            self.next()
+            self.expect("op", "(")
+            field = self.next().value
+            self.expect("kw", "from")
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return A.ExtractExpr(field, e)
+        if self.at_kw("substring"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_expr()
+            if self.accept("kw", "from"):
+                start = self.parse_expr()
+                self.expect("kw", "for")
+                length = self.parse_expr()
+            else:
+                self.expect("op", ",")
+                start = self.parse_expr()
+                self.expect("op", ",")
+                length = self.parse_expr()
+            self.expect("op", ")")
+            return A.SubstringExpr(e, start, length)
+        if self.at_kw("count", "sum", "avg", "min", "max"):
+            fname = self.next().value
+            self.expect("op", "(")
+            distinct = bool(self.accept("kw", "distinct"))
+            if self.peek().kind == "op" and self.peek().value == "*":
+                self.next()
+                self.expect("op", ")")
+                return A.FuncCall(fname, [], star=True)
+            arg = self.parse_expr()
+            self.expect("op", ")")
+            return A.FuncCall(fname, [arg], distinct=distinct)
+        if t.kind == "ident":
+            self.next()
+            if self.accept("op", "."):
+                col = self.expect("ident").value
+                return A.ColumnRef(t.value, col)
+            if self.peek().kind == "op" and self.peek().value == "(":
+                # generic function call
+                self.next()
+                args = []
+                if not (self.peek().kind == "op" and self.peek().value == ")"):
+                    args.append(self.parse_expr())
+                    while self.accept("op", ","):
+                        args.append(self.parse_expr())
+                self.expect("op", ")")
+                return A.FuncCall(t.value.lower(), args)
+            return A.ColumnRef(None, t.value)
+        raise ParseError(f"unexpected token {t.kind} {t.value!r} at {t.pos}")
+
+    def parse_case(self):
+        self.expect("kw", "case")
+        whens = []
+        while self.accept("kw", "when"):
+            cond = self.parse_expr()
+            self.expect("kw", "then")
+            res = self.parse_expr()
+            whens.append((cond, res))
+        default = None
+        if self.accept("kw", "else"):
+            default = self.parse_expr()
+        self.expect("kw", "end")
+        return A.CaseExpr(whens, default)
+
+
+def parse(sql: str) -> A.SelectStmt:
+    return Parser(sql).parse()

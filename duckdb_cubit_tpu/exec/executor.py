@@ -95,7 +95,7 @@ class Executor:
     def _execute_compiled(self, plan: PhysicalOperator):
         import jax
 
-        from ..plan.physical import HashJoin, TableScan
+        from ..plan.physical import GroupAggregate, HashJoin, TableScan
 
         # Phase A: shape planning (tiny eager word ops + popcount pulls)
         ctx_a = ExecContext(self.catalog, self.config, None)
@@ -122,6 +122,10 @@ class Executor:
                 base, col, _ = op._pk or op._reverse_pk
                 spec.append((op, "pk_lut", None))
                 arrays.append(self.catalog.table(base).pk_indexes[col].lut)
+            elif isinstance(op, GroupAggregate) and getattr(op, "_fk_dense", None):
+                pk_table, pk_col, _, _ = op._fk_dense
+                spec.append((op, "pk_lut", None))
+                arrays.append(self.catalog.table(pk_table).pk_indexes[pk_col].lut)
 
         sig = (plan.signature(),
                tuple((a.shape, str(a.dtype)) for a in arrays))

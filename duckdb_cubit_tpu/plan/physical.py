@@ -563,16 +563,53 @@ class GroupAggregate(PhysicalOperator):
 
     def _self_signature(self):
         aggs = ";".join(f"{a.kind}:{a.name}:{a.expr!r}" for a in self.aggregates)
-        return f"group_aggregate[{self.keys};{self.carry};{aggs}]"
+        return (f"group_aggregate[{self.keys};{self.carry};{aggs};"
+                f"fk={getattr(self, '_fk_dense', None)}]")
+
+    def prepare(self, ctx: ExecContext):
+        super().prepare(ctx)
+        # FK-dense grouping: a single key that is a registered foreign key
+        # with a direct PK index groups straight into the referenced table's
+        # row space (the perfect-hash-aggregate analog, driven by schema
+        # stats instead of zone maps)
+        self._fk_dense = None
+        if len(self.keys) == 1:
+            fk = ctx.catalog.foreign_keys.get(self.keys[0]) \
+                if hasattr(ctx.catalog, "foreign_keys") else None
+            if fk is not None:
+                pk_table, pk_col = fk
+                table = ctx.catalog.table(pk_table)
+                pk = table.pk_indexes.get(pk_col)
+                if pk is not None:
+                    self._fk_dense = (pk_table, pk_col, pk.max_key,
+                                      table.capacity)
 
     def _execute(self, ctx):
         rel = self.children[0].execute(ctx)
+        if not hasattr(self, "_fk_dense"):
+            self.prepare(ctx)
         evaluated: dict[str, Typed] = {}
         for agg in self.aggregates:
             if agg.expr is not None:
                 evaluated[agg.name] = rel.evaluate(agg.expr)
         if not self.keys:
             return self._ungrouped(rel, evaluated)
+        if self._fk_dense is not None:
+            pk_table, pk_col, max_key, num_groups = self._fk_dense
+            inputs = ctx.scan_inputs.get(id(self))
+            lut = inputs["pk_lut"] if inputs is not None else \
+                ctx.catalog.table(pk_table).pk_indexes[pk_col].lut
+            key = rel.columns[self.keys[0]].array.astype(jnp.int64)
+            in_range = (key >= 0) & (key <= max_key)
+            gid = lut[jnp.clip(key, 0, max_key)]
+            valid = rel.mask & in_range & (gid >= 0)
+            gids = jnp.maximum(gid, 0).astype(jnp.int32)
+            rows = jnp.arange(rel.capacity, dtype=jnp.int32)
+            rep = jnp.full(num_groups + 1, -1, jnp.int32).at[
+                jnp.where(valid, gids, num_groups)].max(rows)[:num_groups]
+            out_cols, out_mask = self._aggregate(rel, evaluated, gids, valid,
+                                                 num_groups, rep)
+            return Relation(out_cols, out_mask, num_groups)
         # choose grouping strategy
         dense_sizes = []
         dense_codes = []

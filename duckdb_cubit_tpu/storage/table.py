@@ -210,9 +210,16 @@ class Catalog:
 
     def __init__(self):
         self.tables: dict[str, Table] = {}
+        # foreign-key registry: fk column name -> (pk table, pk column);
+        # drives FK-dense aggregation and join planning
+        self.foreign_keys: dict[str, tuple[str, str]] = {}
 
     def register(self, table: Table):
         self.tables[table.name] = table
+
+    def register_foreign_key(self, fk_column: str, pk_table: str,
+                             pk_column: str):
+        self.foreign_keys[fk_column] = (pk_table, pk_column)
 
     def table(self, name: str) -> Table:
         return self.tables[name]

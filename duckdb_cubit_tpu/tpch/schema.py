@@ -50,6 +50,26 @@ PK_COLUMNS = {
     "orders": "o_orderkey",
 }
 
+# Foreign keys (fk column -> pk table/column); names are globally unique in
+# the TPC-H schema so the registry is keyed by column name
+FOREIGN_KEYS = {
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "ps_partkey": ("part", "p_partkey"),
+    "ps_suppkey": ("supplier", "s_suppkey"),
+    "c_nationkey": ("nation", "n_nationkey"),
+    "s_nationkey": ("nation", "n_nationkey"),
+    "n_regionkey": ("region", "r_regionkey"),
+    # self references (grouping by a table's own pk)
+    "o_orderkey": ("orders", "o_orderkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "c_custkey": ("customer", "c_custkey"),
+    "n_nationkey": ("nation", "n_nationkey"),
+}
+
 # CUBIT indexes built at load: column -> (n_bins, bin_edges | None).
 # Identity-binned low-cardinality columns index their raw device codes;
 # edge-binned columns (dates, cents quantities) get exact answers whenever

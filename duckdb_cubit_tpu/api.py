@@ -1,0 +1,88 @@
+"""User-facing connection API.
+
+Analog of the reference's DuckDB/Connection/ClientContext query lifecycle
+(reference src/main/client_context.cpp:697 Query: parse -> plan -> optimize
+-> physical plan -> execute): `Connection.sql()` drives the same stages over
+the TPU engine, and `Connection.table_plan()` exposes the plan-builder API
+for programs that want to skip SQL.
+"""
+
+from __future__ import annotations
+
+from .exec import result as R
+from .exec.executor import Executor
+from .sql.binder import Binder
+from .storage.table import Catalog, from_numpy
+
+
+class Result:
+    def __init__(self, relation):
+        self.relation = relation
+
+    def rows(self) -> list[tuple]:
+        _, rows, _ = R.materialize(self.relation)
+        return rows
+
+    def strings(self) -> list[list[str]]:
+        return R.to_strings(self.relation)
+
+    def __repr__(self):
+        rows = self.strings()
+        head = [" | ".join(r) for r in rows[:20]]
+        more = f"\n... ({len(rows)} rows)" if len(rows) > 20 else ""
+        return "\n".join(head) + more
+
+
+class Connection:
+    def __init__(self, catalog: Catalog | None = None):
+        self.catalog = catalog if catalog is not None else Catalog()
+        self.executor = Executor(self.catalog)
+        self.binder = Binder(self.catalog, self.executor)
+
+    # -------------------------------------------------------------- data in
+    def register_numpy(self, name: str, columns: dict, schema=None):
+        self.catalog.register(from_numpy(name, columns, schema))
+
+    def load_tpch(self, sf: float = 0.01):
+        from .tpch import load
+
+        self.catalog = load.load_catalog(sf)
+        self.executor = Executor(self.catalog)
+        self.binder = Binder(self.catalog, self.executor)
+        return self
+
+    # ------------------------------------------------------------- querying
+    def sql(self, query: str, profile: bool = False) -> Result:
+        plan = self.binder.bind_sql(query)
+        rel = self.executor.execute(plan, profile=profile)
+        return Result(rel)
+
+    def execute_plan(self, plan, profile: bool = False) -> Result:
+        return Result(self.executor.execute(plan, profile=profile))
+
+    def tpch_query(self, n: int) -> Result:
+        from .tpch import queries
+
+        return Result(queries.run(self.executor, n))
+
+    def explain(self, query: str) -> str:
+        plan = self.binder.bind_sql(query)
+        from .plan import optimizer as opt
+
+        plan = opt.optimize(plan, self.catalog)
+        lines = []
+
+        def walk(op, d):
+            lines.append("  " * d + op.describe())
+            for c in op.children:
+                walk(c, d + 1)
+
+        walk(plan, 0)
+        return "\n".join(lines)
+
+
+def connect(sf: float | None = None) -> Connection:
+    conn = Connection()
+    if sf is not None:
+        conn.load_tpch(sf)
+    return conn

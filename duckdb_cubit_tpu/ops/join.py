@@ -56,59 +56,36 @@ class BuildSide:
 
 @functools.partial(jax.jit, static_argnames=("size", "ucap"))
 def _build_kernel(keys: jnp.ndarray, valid: jnp.ndarray, size: int, ucap: int):
+    """Sort-based build: sorted unique keys + CSR of per-key row runs.
+
+    `size` is kept in the signature for compatibility; the probe is a binary
+    search over the sorted unique-key array (static log2 trip count), which
+    avoids dynamic-condition while_loops — those serialize catastrophically
+    on the target backend, whereas large sorts are fast.
+    ht_keys here IS the ascending unique-key array (big-sentinel padded).
+    """
+    del size
     n = keys.shape[0]
-    skeys = jnp.where(valid, keys.astype(jnp.int64), KEY_SENTINEL * -1)  # big
+    big = jnp.int64(2**62)
+    skeys = jnp.where(valid, keys.astype(jnp.int64), big)
     rows = jnp.arange(n, dtype=jnp.int32)
     sk, srows = jax.lax.sort((skeys, rows), num_keys=1)
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), sk[1:] != sk[:-1]])
-    svalid = sk != KEY_SENTINEL * -1
+    svalid = sk != big
     first = first & svalid
-    # dense unique ids along sorted order
+    # dense unique ids along sorted (== ascending-key) order
     uid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_unique = uid[-1] + 1  # device scalar
+    n_unique = jnp.where(jnp.any(svalid), uid[-1] + 1, 0)
     uid = jnp.where(svalid, uid, ucap - 1)
-    # unique key / CSR arrays
-    ukeys = jnp.full(ucap, KEY_SENTINEL, jnp.int64).at[uid].set(
-        jnp.where(svalid, sk, KEY_SENTINEL))
+    # ascending unique keys (empties hold the +big sentinel => stay sorted)
+    ukeys = jnp.full(ucap, big, jnp.int64).at[uid].set(
+        jnp.where(svalid, sk, big))
     pos = jnp.arange(n, dtype=jnp.int32)
     starts = jnp.full(ucap, n, jnp.int32).at[uid].min(
         jnp.where(svalid, pos, jnp.int32(n)))
-    counts = jnp.zeros(ucap, jnp.int32).at[uid].add(
-        svalid.astype(jnp.int32))
-    # open addressing insert of unique keys
-    mask = jnp.uint64(size - 1)
-    uvalid = ukeys != KEY_SENTINEL
-    slot0 = (hash64(ukeys) & mask).astype(jnp.int32)
-    uidx = jnp.arange(ucap, dtype=jnp.int32)
-
-    def cond(state):
-        _, _, placed, _ = state
-        return jnp.any(~placed)
-
-    def body(state):
-        ht_keys, ht_entry, placed, offset = state
-        slot = ((slot0 + offset) & jnp.int32(size - 1)).astype(jnp.int32)
-        attempt = jnp.where(placed, jnp.int32(size), slot)  # dummy slot
-        # claim: lowest unique-id wins each contested empty slot this round
-        claims = jnp.full(size + 1, jnp.int32(ucap)).at[attempt].min(uidx)
-        slot_empty = ht_keys[jnp.minimum(slot, size - 1)] == KEY_SENTINEL
-        won = (~placed) & slot_empty & (claims[slot] == uidx)
-        wslot = jnp.where(won, slot, jnp.int32(size))
-        ht_keys = jnp.concatenate([ht_keys, jnp.full(1, KEY_SENTINEL)]) \
-            .at[wslot].set(jnp.where(won, ukeys, KEY_SENTINEL))[:size]
-        ht_entry = jnp.concatenate([ht_entry, jnp.zeros(1, jnp.int32)]) \
-            .at[wslot].set(uidx)[:size]
-        placed = placed | won
-        offset = jnp.where(placed, offset, offset + 1)
-        return ht_keys, ht_entry, placed, offset
-
-    ht_keys0 = jnp.full(size, KEY_SENTINEL, jnp.int64)
-    ht_entry0 = jnp.zeros(size, jnp.int32)
-    placed0 = ~uvalid
-    offset0 = jnp.zeros(ucap, jnp.int32)
-    ht_keys, ht_entry, _, _ = jax.lax.while_loop(
-        cond, body, (ht_keys0, ht_entry0, placed0, offset0))
-    return ht_keys, ht_entry, starts, counts, srows, n_unique
+    counts = jnp.zeros(ucap, jnp.int32).at[uid].add(svalid.astype(jnp.int32))
+    ht_entry = jnp.arange(ucap, dtype=jnp.int32)  # identity (kept for API)
+    return ukeys, ht_entry, starts, counts, srows, n_unique
 
 
 def build(keys: jnp.ndarray, valid: jnp.ndarray, num_rows_hint: int | None = None,
@@ -123,28 +100,13 @@ def build(keys: jnp.ndarray, valid: jnp.ndarray, num_rows_hint: int | None = Non
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def _probe_kernel(ht_keys, ht_entry, probe_keys, probe_valid, size: int):
-    pk = jnp.where(probe_valid, probe_keys.astype(jnp.int64), KEY_SENTINEL)
-    mask = jnp.uint64(size - 1)
-    slot = (hash64(pk) & mask).astype(jnp.int32)
-    found = jnp.full(pk.shape, -1, jnp.int32)
-    done = ~probe_valid
-
-    def cond(state):
-        _, _, done = state
-        return jnp.any(~done)
-
-    def body(state):
-        slot, found, done = state
-        entry_key = ht_keys[slot]
-        hit = (~done) & (entry_key == pk)
-        empty = entry_key == KEY_SENTINEL
-        found = jnp.where(hit, ht_entry[slot], found)
-        done = done | hit | empty
-        slot = jnp.where(done, slot, (slot + 1) & jnp.int32(size - 1))
-        return slot, found, done
-
-    _, found, _ = jax.lax.while_loop(cond, body, (slot, found, done))
-    return found  # index into unique arrays, -1 = miss
+    """Vectorized binary search over the ascending unique-key array."""
+    del size, ht_entry
+    pk = probe_keys.astype(jnp.int64)
+    pos = jnp.searchsorted(ht_keys, pk, side="left").astype(jnp.int32)
+    safe = jnp.minimum(pos, ht_keys.shape[0] - 1)
+    hit = probe_valid & (ht_keys[safe] == pk)
+    return jnp.where(hit, safe, -1)  # index into unique arrays, -1 = miss
 
 
 def probe(bs: BuildSide, probe_keys: jnp.ndarray, probe_valid: jnp.ndarray):

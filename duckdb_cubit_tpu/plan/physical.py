@@ -101,6 +101,9 @@ class PhysicalOperator:
         if ctx.profiler is not None:
             with ctx.profiler.operator(self):
                 out = self._execute(ctx)
+                # sync so per-operator timings are honest (EXPLAIN ANALYZE)
+                jax.block_until_ready(out.mask)
+                jax.block_until_ready([c.array for c in out.columns.values()])
                 if ctx.profiler.measure_cardinality:
                     out_count = out.count()
                     ctx.profiler.record_cardinality(self, out_count)

@@ -1,0 +1,47 @@
+"""Engine configuration: typed instance + session settings.
+
+Analog of the reference's layered config (reference src/main/config.cpp
+DBConfig incl. index_scan_percentage / index_scan_max_count at
+include/duckdb/main/config.hpp:246-253, and ClientConfig session knobs like
+force_external / verify_parallelism; all surfaced via the generated settings
+registry src/main/settings/settings.cpp).  Settings are plain typed fields
+with a string-keyed set/get so a SQL-level SET command can drive them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # index-scan thresholds (reference config.hpp:246-253 semantics)
+    index_scan_percentage: float = 0.001
+    index_scan_max_count: int = 1 << 14
+    # grouped-aggregation strategy knobs
+    small_group_limit: int = 32
+    dense_domain_limit: int = 1 << 22
+    # join expansion default capacity multiplier (x probe rows)
+    join_expansion_factor: float = 2.0
+    # distributed execution
+    exchange_quota_slack: float = 2.0   # per-destination quota = slack * mean
+    mesh_axis: str = "d"
+    # verification / debugging (analog of PRAGMA enable_verification)
+    enable_verification: bool = False   # run eager + compiled, compare
+    profile: bool = False
+    # memory budget per chip for out-of-core decisions (bytes)
+    memory_limit: int = 12 << 30
+
+    def set(self, name: str, value):
+        if not hasattr(self, name):
+            raise KeyError(f"unknown setting {name}")
+        current = getattr(self, name)
+        setattr(self, name, type(current)(value))
+
+    def get(self, name: str):
+        if not hasattr(self, name):
+            raise KeyError(f"unknown setting {name}")
+        return getattr(self, name)
+
+    def settings(self) -> dict:
+        return dataclasses.asdict(self)

@@ -1,0 +1,150 @@
+"""Data modification: append / delete / update with index maintenance.
+
+Analog of the reference's DataTable append/delete/update paths
+(reference src/storage/data_table.cpp, local_storage.cpp) and of CUBIT's
+update-conscious index deltas: every mutation buffers per-index deltas
+(CubitIndex.insert/delete/update) and publishes them with one merge per
+index; deletes are a validity epoch (rows never move, so PK luts and
+bitmap row positions stay stable — the column-store analog of MVCC
+version masks, reference row_version_manager.cpp).
+
+All array updates are functional: readers holding the previous epoch's
+arrays keep a consistent snapshot.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .table import Column, Table, pad_count
+
+
+class DmlError(RuntimeError):
+    pass
+
+
+def _ensure_deleted_mask(table: Table):
+    if not hasattr(table, "deleted") or table.deleted is None:
+        table.deleted = jnp.zeros(table.capacity, jnp.bool_)
+
+
+def _active_mask(table: Table):
+    base = jnp.arange(table.capacity) < table.num_rows
+    if getattr(table, "deleted", None) is not None:
+        base = base & ~table.deleted
+    return base
+
+
+# patch Table.row_mask to honor deletions (kept here so the storage core
+# stays minimal; importing dml activates DML semantics)
+Table.row_mask = _active_mask  # type: ignore[assignment]
+
+
+def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
+    """Append host rows; returns the first new row id.
+
+    Grows capacity when needed (copy + pad), extends every CUBIT index via
+    insert deltas, and extends dictionaries for VARCHAR values (new strings
+    are appended to the dictionary; code order stays sorted only for the
+    prefix, so ordered string predicates must re-encode — round-1 limitation
+    flagged with an exception if violated).
+    """
+    n_new = len(next(iter(rows.values())))
+    first = table.num_rows
+    new_count = first + n_new
+    grow = new_count > table.capacity
+    new_capacity = pad_count(new_count) if grow else table.capacity
+    for name, col in table.columns.items():
+        vals = rows[name]
+        if col.dictionary is not None:
+            codes = np.empty(n_new, np.int32)
+            extra = []
+            dict_list = col.dictionary
+            for i, v in enumerate(np.asarray(vals)):
+                b = v if isinstance(v, bytes) else str(v).encode()
+                pos = np.searchsorted(dict_list, b)
+                if pos < len(dict_list) and dict_list[pos] == b:
+                    codes[i] = pos
+                else:
+                    extra.append(b)
+                    codes[i] = len(dict_list) + len(extra) - 1
+            if extra:
+                col.dictionary = np.concatenate(
+                    [dict_list, np.array(extra, dtype=dict_list.dtype)])
+            dev_new = jnp.asarray(codes)
+        else:
+            dev_new = jnp.asarray(np.asarray(vals, dtype=col.data.dtype))
+        data = col.data
+        if grow:
+            pad = jnp.repeat(data[-1:], new_capacity - table.capacity)
+            data = jnp.concatenate([data, pad])
+        data = data.at[first:new_count].set(dev_new)
+        col.data = data
+        # index deltas
+        idx = table.indexes.get(name)
+        if idx is not None:
+            host_vals = np.asarray(vals) if col.dictionary is None else codes
+            for i in range(n_new):
+                idx.insert(first + i, host_vals[i])
+    if getattr(table, "deleted", None) is not None and grow:
+        table.deleted = jnp.concatenate([
+            table.deleted,
+            jnp.zeros(new_capacity - table.capacity, jnp.bool_)])
+    if grow:
+        # capacity change invalidates bitmap word counts: rebuild indexes
+        for name, idx in list(table.indexes.items()):
+            from ..index.cubit import CubitIndex
+            col = table.columns[name]
+            host = np.asarray(col.data[:new_count])
+            table.indexes[name] = CubitIndex.build(
+                name, host if idx.bin_edges is not None else host.astype(np.int32),
+                new_capacity, new_count, idx.n_bins, bin_edges=idx.bin_edges)
+        table.capacity = new_capacity
+        table.num_rows = new_count
+    else:
+        table.num_rows = new_count
+        for idx in table.indexes.values():
+            if idx.pending_updates:
+                idx.merge()
+    # PK indexes: rebuild lazily (host build is cheap)
+    if table.pk_indexes:
+        from ..index.pk import DirectPKIndex
+        for cname in list(table.pk_indexes):
+            keys = np.asarray(table.columns[cname].data[:new_count])
+            pk = DirectPKIndex.build(cname, keys, new_count)
+            if pk is None:
+                raise DmlError(f"append broke PK uniqueness on {cname}")
+            table.pk_indexes[cname] = pk
+    return first
+
+
+def delete_rows(table: Table, row_ids: np.ndarray):
+    """Mark rows deleted (validity-epoch delete; storage never compacts in
+    place — the scan mask hides them and CUBIT bitmaps drop their bits)."""
+    _ensure_deleted_mask(table)
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    table.deleted = table.deleted.at[jnp.asarray(row_ids)].set(True)
+    for name, idx in table.indexes.items():
+        col = table.columns[name]
+        host_vals = np.asarray(col.data[jnp.asarray(row_ids)])
+        for r, v in zip(row_ids, host_vals):
+            idx.delete(int(r), v)
+        idx.merge()
+
+
+def update_column(table: Table, column: str, row_ids: np.ndarray,
+                  new_values: np.ndarray):
+    """Point updates of one column (CUBIT's update-conscious path)."""
+    col = table.columns[column]
+    if col.dictionary is not None:
+        raise DmlError("VARCHAR update requires re-encoding (not in round 1)")
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    old = np.asarray(col.data[jnp.asarray(row_ids)])
+    col.data = col.data.at[jnp.asarray(row_ids)].set(
+        jnp.asarray(np.asarray(new_values, dtype=old.dtype)))
+    idx = table.indexes.get(column)
+    if idx is not None:
+        for r, ov, nv in zip(row_ids, old, np.asarray(new_values)):
+            idx.update(int(r), ov, nv)
+        idx.merge()

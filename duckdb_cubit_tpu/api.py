@@ -60,6 +60,19 @@ class Connection:
     def execute_plan(self, plan, profile: bool = False) -> Result:
         return Result(self.executor.execute(plan, profile=profile))
 
+    def prepare(self, query: str):
+        """PreparedStatement analog: parse/bind/optimize/compile once;
+        the returned object's execute() is a single device dispatch."""
+        from .exec.executor import PreparedQuery
+
+        plan = self.binder.bind_sql(query)
+        return PreparedQuery(self.executor, plan)
+
+    def prepare_plan(self, plan):
+        from .exec.executor import PreparedQuery
+
+        return PreparedQuery(self.executor, plan)
+
     def tpch_query(self, n: int) -> Result:
         from .tpch import queries
 

@@ -61,6 +61,11 @@ class CubitIndex:
         # the HBM-traffic win that gets scans to the bandwidth roofline.
         self.range_encode = range_encode
         self.cum_words: jnp.ndarray | None = None
+        # host-side per-bin popcounts: because bins are disjoint, the result
+        # cardinality of any bin-range query is an exact host-side sum —
+        # the index-scan threshold decision (reference table_scan.cpp:348)
+        # never needs a device->host popcount pull.
+        self.bin_counts: np.ndarray | None = None
         self._pending: list[tuple[int, int, int]] = []  # (row, old_bin, new_bin)
         self._query_cache: dict = {}  # (epoch, op, args) -> device words
 
@@ -95,6 +100,8 @@ class CubitIndex:
         words = words.astype(np.int64).astype(np.uint32).reshape(
             n_bins, idx.n_words)
         idx.words = jnp.asarray(words)
+        idx.bin_counts = np.bincount(
+            np.clip(codes, 0, n_bins - 1), minlength=n_bins).astype(np.int64)
         if idx.range_encode:
             cum = np.cumsum(words.astype(np.uint64), axis=0).astype(np.uint32)
             idx.cum_words = jnp.asarray(cum)
@@ -186,6 +193,33 @@ class CubitIndex:
     def count(self, words: jnp.ndarray) -> int:
         return int(bm.popcount(words))
 
+    # ------------------------------------------- host-side cardinalities
+    def count_eq(self, value) -> int | None:
+        if self.bin_counts is None:
+            return None
+        b = int(self.bin_of(np.asarray([value]))[0]) \
+            if self.bin_edges is not None else int(value)
+        if not 0 <= b < self.n_bins:
+            return 0
+        return int(self.bin_counts[b])
+
+    def count_isin(self, bins) -> int | None:
+        if self.bin_counts is None:
+            return None
+        return int(sum(self.bin_counts[b] for b in bins
+                       if 0 <= b < self.n_bins))
+
+    def count_range(self, lo=None, hi=None, lo_inclusive=True,
+                    hi_inclusive=True) -> int | None:
+        """Exact result cardinality of a bin-exact range query (upper bound
+        when boundary bins need refinement)."""
+        if self.bin_counts is None:
+            return None
+        blo, bhi, _ = self.range_bins(lo, hi, lo_inclusive, hi_inclusive)
+        if bhi < blo:
+            return 0
+        return int(self.bin_counts[blo : bhi + 1].sum())
+
     # -------------------------------------------------------------- updates
     def update(self, row: int, old_value, new_value):
         """Buffer a value change for `row` (CUBIT UpdateConscious delta)."""
@@ -232,6 +266,9 @@ class CubitIndex:
         self.words = jnp.bitwise_xor(
             self.words.reshape(-1), jnp.asarray(delta_np)
         ).reshape(self.n_bins, self.n_words)
+        if self.bin_counts is not None:
+            np.subtract.at(self.bin_counts, olds[olds >= 0], 1)
+            np.add.at(self.bin_counts, news[news >= 0], 1)
         self._rebuild_cum()
         self._pending.clear()
         self._query_cache.clear()

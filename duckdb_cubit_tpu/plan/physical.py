@@ -229,23 +229,43 @@ class TableScan(PhysicalOperator):
             index_words = words if index_words is None else (index_words & words)
         return index_words
 
+    def _index_count_bound(self, table: Table) -> int | None:
+        """Host-side upper bound on the candidate count: min over each index
+        filter's exact bin-range cardinality (bins are disjoint, so each
+        per-index count is exact; the AND of several can only be smaller)."""
+        bound = None
+        for col_name, kind, args in self.index_filters:
+            idx = table.indexes[col_name]
+            if kind == "eq":
+                c = idx.count_eq(args[0])
+            elif kind == "isin":
+                c = idx.count_isin(args[0])
+            elif kind == "range":
+                c = idx.count_range(*args)
+            else:
+                c = None
+            if c is not None:
+                bound = c if bound is None else min(bound, c)
+        return bound
+
     def prepare(self, ctx: ExecContext):
-        """Phase A: evaluate index bitvectors (tiny word ops) and take the
-        decode-vs-mask decision from their popcount (the reference threshold,
-        table_scan.cpp:348-356)."""
+        """Phase A: evaluate index bitvectors (tiny async word ops) and take
+        the decode-vs-mask decision from host-side bin cardinalities (the
+        reference threshold, table_scan.cpp:348-356).  No device->host pull:
+        the decision uses the index's host bin counts, and the decode path's
+        exact count stays a traced device scalar."""
         table = ctx.catalog.table(self.table_name)
         self._words = self._index_words(table)
         self._decode_cap = None
         if self._words is not None and not self.filters:
             n_rows = table.num_rows
-            count = int(bm.popcount(self._words))
+            bound = self._index_count_bound(table)
             limit = max(self.decode_max_count,
                         int(n_rows * self.decode_threshold))
-            if count <= limit and count < n_rows // 2:
-                cap = pad_count(count)
+            if bound is not None and bound <= limit and bound < n_rows // 2:
+                cap = pad_count(bound)
                 if cap < table.capacity:
                     self._decode_cap = cap
-                    self._decode_count = count
 
     def _execute(self, ctx: ExecContext) -> Relation:
         table = ctx.catalog.table(self.table_name)
@@ -274,8 +294,8 @@ class TableScan(PhysicalOperator):
         if self._decode_cap is not None:
             # index-scan path: decode row-ids, probe only projected columns
             cap = self._decode_cap
-            rowids, _ = kernels.mask_to_indices(mask, cap)
-            valid = jnp.arange(cap) < self._decode_count
+            rowids, count = kernels.mask_to_indices(mask, cap)
+            valid = jnp.arange(cap) < count
             rel = rel.gather(rowids, valid, cap)
         return rel
 

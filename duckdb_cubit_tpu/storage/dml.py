@@ -72,9 +72,13 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
             if extra:
                 col.dictionary = np.concatenate(
                     [dict_list, np.array(extra, dtype=dict_list.dtype)])
+            host_new = codes
             dev_new = jnp.asarray(codes)
         else:
-            dev_new = jnp.asarray(np.asarray(vals, dtype=col.data.dtype))
+            host_new = np.asarray(vals, dtype=col.data.dtype)
+            dev_new = jnp.asarray(host_new)
+        if col.host is not None:
+            col.host = np.concatenate([col.host, host_new])
         data = col.data
         if grow:
             pad = jnp.repeat(data[-1:], new_capacity - table.capacity)
@@ -84,9 +88,8 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
         # index deltas
         idx = table.indexes.get(name)
         if idx is not None:
-            host_vals = np.asarray(vals) if col.dictionary is None else codes
             for i in range(n_new):
-                idx.insert(first + i, host_vals[i])
+                idx.insert(first + i, host_new[i])
     if getattr(table, "deleted", None) is not None and grow:
         table.deleted = jnp.concatenate([
             table.deleted,
@@ -96,7 +99,8 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
         for name, idx in list(table.indexes.items()):
             from ..index.cubit import CubitIndex
             col = table.columns[name]
-            host = np.asarray(col.data[:new_count])
+            host = (col.host[:new_count] if col.host is not None
+                    else np.asarray(col.data[:new_count]))
             table.indexes[name] = CubitIndex.build(
                 name, host if idx.bin_edges is not None else host.astype(np.int32),
                 new_capacity, new_count, idx.n_bins, bin_edges=idx.bin_edges)
@@ -111,11 +115,14 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
     if table.pk_indexes:
         from ..index.pk import DirectPKIndex
         for cname in list(table.pk_indexes):
-            keys = np.asarray(table.columns[cname].data[:new_count])
+            col = table.columns[cname]
+            keys = (col.host[:new_count] if col.host is not None
+                    else np.asarray(col.data[:new_count]))
             pk = DirectPKIndex.build(cname, keys, new_count)
             if pk is None:
                 raise DmlError(f"append broke PK uniqueness on {cname}")
             table.pk_indexes[cname] = pk
+    table.version += 1
     return first
 
 
@@ -127,10 +134,12 @@ def delete_rows(table: Table, row_ids: np.ndarray):
     table.deleted = table.deleted.at[jnp.asarray(row_ids)].set(True)
     for name, idx in table.indexes.items():
         col = table.columns[name]
-        host_vals = np.asarray(col.data[jnp.asarray(row_ids)])
+        host_vals = (col.host[row_ids] if col.host is not None
+                     else np.asarray(col.data[jnp.asarray(row_ids)]))
         for r, v in zip(row_ids, host_vals):
             idx.delete(int(r), v)
         idx.merge()
+    table.version += 1
 
 
 def update_column(table: Table, column: str, row_ids: np.ndarray,
@@ -140,11 +149,15 @@ def update_column(table: Table, column: str, row_ids: np.ndarray,
     if col.dictionary is not None:
         raise DmlError("VARCHAR update requires re-encoding (not in round 1)")
     row_ids = np.asarray(row_ids, dtype=np.int64)
-    old = np.asarray(col.data[jnp.asarray(row_ids)])
-    col.data = col.data.at[jnp.asarray(row_ids)].set(
-        jnp.asarray(np.asarray(new_values, dtype=old.dtype)))
+    old = (col.host[row_ids] if col.host is not None
+           else np.asarray(col.data[jnp.asarray(row_ids)]))
+    new_host = np.asarray(new_values, dtype=old.dtype)
+    col.data = col.data.at[jnp.asarray(row_ids)].set(jnp.asarray(new_host))
+    if col.host is not None:
+        col.host[row_ids] = new_host
     idx = table.indexes.get(column)
     if idx is not None:
         for r, ov, nv in zip(row_ids, old, np.asarray(new_values)):
             idx.update(int(r), ov, nv)
         idx.merge()
+    table.version += 1

@@ -48,6 +48,13 @@ class Column:
     dictionary: np.ndarray | None = None  # sorted |S bytes, host (VARCHAR)
     zone_map: ZoneMap | None = None
     domain: np.ndarray | None = None  # sorted distinct values (CHAR1)
+    # unpadded host mirror of `data` (codes for VARCHAR).  Index builds and
+    # DML read THIS instead of pulling the device array back: on remote-
+    # attached TPUs a single device->host transfer permanently drops the
+    # runtime out of its latency-hiding fast path (measured: every later
+    # dispatch+sync pays a full ~25ms round trip), so the engine never does
+    # D2H outside result materialization.
+    host: np.ndarray | None = None
 
     @property
     def dict_size(self) -> int:
@@ -83,6 +90,11 @@ class Table:
     capacity: int
     indexes: dict = dataclasses.field(default_factory=dict)  # col -> CubitIndex
     pk_indexes: dict = dataclasses.field(default_factory=dict)  # col -> DirectPKIndex
+    # bumped by every DML mutation / index merge; the executor's prepared-
+    # plan cache keys on (plan signature, all table versions) so cached
+    # shape decisions are invalidated exactly when data changes (the analog
+    # of the reference's statement re-planning on catalog version bumps)
+    version: int = 0
 
     def column(self, name: str) -> Column:
         return self.columns[name]
@@ -153,6 +165,7 @@ def from_numpy(
             dictionary=dictionary,
             zone_map=zone_map,
             domain=domain,
+            host=np.asarray(dev_np),
         )
     return Table(name=name, columns=columns, num_rows=num_rows, capacity=capacity)
 
@@ -200,7 +213,8 @@ def from_encoded(name: str, cols: dict[str, dict],
         if dtype.id == TypeId.CHAR1 and num_rows:
             domain = np.unique(dev_np[:num_rows])
         columns[col_name] = Column(col_name, dtype, jnp.asarray(padded),
-                                   dictionary, zone_map, domain)
+                                   dictionary, zone_map, domain,
+                                   host=np.asarray(dev_np))
     return Table(name=name, columns=columns, num_rows=num_rows,
                  capacity=capacity)
 

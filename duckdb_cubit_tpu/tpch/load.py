@@ -62,7 +62,10 @@ def build_indexes(table: Table, spec: dict):
 
     for col_name, (kind, arg) in spec.items():
         col = table.columns[col_name]
-        host_vals = np.asarray(col.data[: table.num_rows])
+        # never pull the device array back (D2H permanently degrades the
+        # remote-runtime fast path); the ingest keeps an unpadded host mirror
+        host_vals = (col.host[: table.num_rows] if col.host is not None
+                     else np.asarray(col.data[: table.num_rows]))
         if kind == "identity":
             n_bins = int(arg)
             idx = CubitIndex.build(col_name, host_vals.astype(np.int32),
@@ -91,7 +94,9 @@ def build_pk_index(table: Table):
     col_name = PK_COLUMNS.get(table.name)
     if col_name is None:
         return
-    keys = np.asarray(table.columns[col_name].data[: table.num_rows])
+    col = table.columns[col_name]
+    keys = (col.host[: table.num_rows] if col.host is not None
+            else np.asarray(col.data[: table.num_rows]))
     pk = DirectPKIndex.build(col_name, keys, table.num_rows)
     if pk is not None:
         table.pk_indexes[col_name] = pk

@@ -16,28 +16,41 @@ from .storage.table import Catalog, from_numpy
 
 
 class Result:
-    def __init__(self, relation):
+    def __init__(self, relation, status: str | None = None,
+                 static_rows: list | None = None):
         self.relation = relation
+        self.status = status
+        self._static_rows = static_rows
 
     def rows(self) -> list[tuple]:
+        if self.relation is None:
+            return [tuple(r) for r in (self._static_rows or [])]
         _, rows, _ = R.materialize(self.relation)
         return rows
 
     def strings(self) -> list[list[str]]:
+        if self.relation is None:
+            return [[str(v) for v in r] for r in (self._static_rows or [])]
         return R.to_strings(self.relation)
 
     def __repr__(self):
         rows = self.strings()
+        if not rows and self.status:
+            return self.status
         head = [" | ".join(r) for r in rows[:20]]
         more = f"\n... ({len(rows)} rows)" if len(rows) > 20 else ""
         return "\n".join(head) + more
 
 
 class Connection:
-    def __init__(self, catalog: Catalog | None = None):
+    def __init__(self, catalog: Catalog | None = None, config=None):
+        from .config import EngineConfig
+
         self.catalog = catalog if catalog is not None else Catalog()
-        self.executor = Executor(self.catalog)
+        self.config = config if config is not None else EngineConfig()
+        self.executor = Executor(self.catalog, self.config)
         self.binder = Binder(self.catalog, self.executor)
+        self._txn_snapshot = None
 
     # -------------------------------------------------------------- data in
     def register_numpy(self, name: str, columns: dict, schema=None):
@@ -53,9 +66,35 @@ class Connection:
 
     # ------------------------------------------------------------- querying
     def sql(self, query: str, profile: bool = False) -> Result:
-        plan = self.binder.bind_sql(query)
-        rel = self.executor.execute(plan, profile=profile)
-        return Result(rel)
+        from .sql import ast as A
+        from .sql.parser import parse_statement
+
+        stmt = parse_statement(query)
+        if isinstance(stmt, A.SelectStmt):
+            plan = self.binder.bind(stmt)
+            rel = self.executor.execute(plan, profile=profile)
+            return Result(rel)
+        from .sql.statements import execute_statement
+
+        status, rows = execute_statement(self, stmt)
+        return Result(None, status=status, static_rows=rows)
+
+    # ------------------------------------------------------- transactions
+    def begin(self):
+        if self._txn_snapshot is not None:
+            raise RuntimeError("transaction already active")
+        self._txn_snapshot = self.catalog.snapshot()
+
+    def commit(self):
+        if self._txn_snapshot is None:
+            raise RuntimeError("no active transaction")
+        self._txn_snapshot = None
+
+    def rollback(self):
+        if self._txn_snapshot is None:
+            raise RuntimeError("no active transaction")
+        self.catalog.restore(self._txn_snapshot)
+        self._txn_snapshot = None
 
     def execute_plan(self, plan, profile: bool = False) -> Result:
         return Result(self.executor.execute(plan, profile=profile))

@@ -158,6 +158,9 @@ class Executor:
                 if getattr(op, "_words", None) is not None:
                     spec.append((op, "words", None))
                     arrays.append(op._words)
+                if getattr(table, "deleted", None) is not None:
+                    spec.append((op, "deleted", None))
+                    arrays.append(table.deleted)
             elif isinstance(op, HashJoin) and (
                     getattr(op, "_pk", None) or getattr(op, "_reverse_pk", None)):
                 base, col, _ = op._pk or op._reverse_pk
@@ -184,6 +187,8 @@ class Executor:
                         slot["cols"][name] = arr
                     elif kind == "words":
                         slot["words"] = arr
+                    elif kind == "deleted":
+                        slot["deleted"] = arr
                     else:
                         slot["pk_lut"] = arr
                 rel = plan_ref.execute(ctx)

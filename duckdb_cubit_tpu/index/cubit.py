@@ -220,6 +220,16 @@ class CubitIndex:
             return 0
         return int(self.bin_counts[blo : bhi + 1].sum())
 
+    def clone(self) -> "CubitIndex":
+        """Shallow snapshot copy (shares device arrays; private host state
+        is duplicated so merges on the live index leave the clone intact)."""
+        import copy
+
+        c = copy.copy(self)
+        c._pending = list(self._pending)
+        c._query_cache = dict(self._query_cache)
+        return c
+
     # -------------------------------------------------------------- updates
     def update(self, row: int, old_value, new_value):
         """Buffer a value change for `row` (CUBIT UpdateConscious delta)."""
@@ -267,6 +277,9 @@ class CubitIndex:
             self.words.reshape(-1), jnp.asarray(delta_np)
         ).reshape(self.n_bins, self.n_words)
         if self.bin_counts is not None:
+            # copy-on-write: snapshots taken before this merge keep their
+            # own counts (transaction rollback safety)
+            self.bin_counts = self.bin_counts.copy()
             np.subtract.at(self.bin_counts, olds[olds >= 0], 1)
             np.add.at(self.bin_counts, news[news >= 0], 1)
         self._rebuild_cum()

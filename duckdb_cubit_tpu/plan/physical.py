@@ -275,15 +275,20 @@ class TableScan(PhysicalOperator):
         if inputs is not None:
             cols = inputs["cols"]
             words = inputs.get("words")
+            deleted = inputs.get("deleted")
         else:
             cols = {n: table.columns[n].data for n in self.needed_columns(table)}
             words = self._words
+            deleted = getattr(table, "deleted", None)
+        base_mask = jnp.arange(table.capacity) < table.num_rows
+        if deleted is not None:
+            base_mask = base_mask & ~deleted
         rel = Relation(
             {n: RelColumn(cols[n], table.columns[n].dtype,
                           table.columns[n].dictionary,
                           getattr(table.columns[n], "domain", None))
              for n in cols},
-            jnp.arange(table.capacity) < table.num_rows,
+            base_mask,
             table.capacity)
         mask = rel.mask
         if words is not None:

@@ -138,3 +138,79 @@ class SelectStmt:
     order_by: list[OrderItem]
     limit: int | None
     distinct: bool = False
+
+
+# ------------------------------------------------------- DDL/DML statements
+# (analog of the reference's non-SELECT statement nodes, src/parser/statement/)
+
+
+@dataclasses.dataclass
+class ColumnDef:
+    name: str
+    type_name: str           # integer|bigint|double|decimal|date|varchar|char
+    params: list             # e.g. DECIMAL(12, 2) -> [12, 2]
+
+
+@dataclasses.dataclass
+class CreateTable:
+    name: str
+    columns: list[ColumnDef]
+
+
+@dataclasses.dataclass
+class CreateIndex:
+    name: str | None
+    table: str
+    column: str
+    using: str = "cubit"     # cubit (bitmap) | pk (direct-address)
+    n_bins: int | None = None
+
+
+@dataclasses.dataclass
+class Insert:
+    table: str
+    columns: list[str] | None
+    rows: list[list]         # literal expressions per row
+    select: "SelectStmt | None" = None
+
+
+@dataclasses.dataclass
+class Delete:
+    table: str
+    where: Any | None
+
+
+@dataclasses.dataclass
+class Update:
+    table: str
+    assignments: list        # [(column, expr)]
+    where: Any | None
+
+
+@dataclasses.dataclass
+class DropTable:
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class SetStmt:
+    name: str
+    value: Any
+
+
+@dataclasses.dataclass
+class TransactionStmt:
+    kind: str                # begin | commit | rollback
+
+
+@dataclasses.dataclass
+class ExplainStmt:
+    query: "SelectStmt"
+    analyze: bool = False
+
+
+@dataclasses.dataclass
+class PragmaStmt:
+    name: str
+    args: list

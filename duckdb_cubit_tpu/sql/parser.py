@@ -57,6 +57,220 @@ class Parser:
         self.expect("eof")
         return stmt
 
+    def parse_statement(self):
+        """Any statement: SELECT plus the DDL/DML grammar (statement nodes
+        mirror the reference's src/parser/statement/ set)."""
+        t = self.peek()
+        w = t.value.lower() if t.kind in ("kw", "ident") else ""
+        if w == "select":
+            return self.parse()
+        dispatch = {
+            "create": self.parse_create,
+            "insert": self.parse_insert,
+            "delete": self.parse_delete,
+            "update": self.parse_update,
+            "drop": self.parse_drop,
+            "set": self.parse_set,
+            "begin": self.parse_transaction,
+            "commit": self.parse_transaction,
+            "rollback": self.parse_transaction,
+            "abort": self.parse_transaction,
+            "explain": self.parse_explain,
+            "pragma": self.parse_pragma,
+        }
+        if w not in dispatch:
+            raise ParseError(f"unsupported statement start {t.value!r}")
+        stmt = dispatch[w]()
+        self.accept("op", ";")
+        self.expect("eof")
+        return stmt
+
+    # ------------------------------------------------------ DDL/DML grammar
+    def _word(self, *expected: str) -> str:
+        t = self.next()
+        w = t.value.lower()
+        if t.kind not in ("kw", "ident") or (expected and w not in expected):
+            raise ParseError(f"expected {'/'.join(expected)}, got {t.value!r}")
+        return w
+
+    def _at_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind in ("kw", "ident") and t.value.lower() in words
+
+    def _ident(self) -> str:
+        t = self.next()
+        if t.kind not in ("ident", "kw"):
+            raise ParseError(f"expected identifier, got {t.value!r}")
+        return t.value
+
+    def parse_create(self):
+        self._word("create")
+        kind = self._word("table", "index", "unique", "cubit")
+        if kind == "cubit":
+            self._word("index")
+            kind = "index"
+            using_default = "cubit"
+        elif kind == "unique":
+            self._word("index")
+            kind = "index"
+            using_default = "pk"
+        else:
+            using_default = "cubit"
+        if kind == "table":
+            name = self._ident()
+            self.expect("op", "(")
+            cols = [self.parse_column_def()]
+            while self.accept("op", ","):
+                cols.append(self.parse_column_def())
+            self.expect("op", ")")
+            return A.CreateTable(name, cols)
+        # CREATE [CUBIT|UNIQUE] INDEX [name] ON table (col) [WITH (bins=N)]
+        idx_name = None
+        if not self._at_word("on"):
+            idx_name = self._ident()
+        self._word("on")
+        table = self._ident()
+        self.expect("op", "(")
+        column = self._ident()
+        self.expect("op", ")")
+        using = using_default
+        n_bins = None
+        if self._at_word("using"):
+            self.next()
+            using = self._word("cubit", "pk", "bitmap")
+            if using == "bitmap":
+                using = "cubit"
+        if self._at_word("with"):
+            self.next()
+            self.expect("op", "(")
+            self._word("bins")
+            self.expect("op", "=")
+            n_bins = int(self.expect("number").value)
+            self.expect("op", ")")
+        return A.CreateIndex(idx_name, table, column, using, n_bins)
+
+    def parse_column_def(self) -> A.ColumnDef:
+        name = self._ident()
+        t = self.next()
+        if t.kind not in ("ident", "kw"):
+            raise ParseError(f"expected type, got {t.value!r}")
+        type_name = t.value.lower()
+        params = []
+        if self.accept("op", "("):
+            params.append(int(self.expect("number").value))
+            while self.accept("op", ","):
+                params.append(int(self.expect("number").value))
+            self.expect("op", ")")
+        # consume ignored column attributes (PRIMARY KEY, NOT NULL)
+        while self._at_word("primary", "not", "key", "null", "unique"):
+            self.next()
+        return A.ColumnDef(name, type_name, params)
+
+    def parse_insert(self):
+        self._word("insert")
+        self._word("into")
+        table = self._ident()
+        columns = None
+        if self.peek().kind == "op" and self.peek().value == "(":
+            self.next()
+            columns = [self._ident()]
+            while self.accept("op", ","):
+                columns.append(self._ident())
+            self.expect("op", ")")
+        if self._at_word("values"):
+            self.next()
+            rows = [self.parse_value_row()]
+            while self.accept("op", ","):
+                rows.append(self.parse_value_row())
+            return A.Insert(table, columns, rows)
+        select = self.parse_select()
+        return A.Insert(table, columns, [], select)
+
+    def parse_value_row(self) -> list:
+        self.expect("op", "(")
+        row = [self.parse_expr()]
+        while self.accept("op", ","):
+            row.append(self.parse_expr())
+        self.expect("op", ")")
+        return row
+
+    def parse_delete(self):
+        self._word("delete")
+        self._word("from")
+        table = self._ident()
+        where = self.parse_expr() if self.accept("kw", "where") else None
+        return A.Delete(table, where)
+
+    def parse_update(self):
+        self._word("update")
+        table = self._ident()
+        self._word("set")
+        assignments = []
+        while True:
+            col = self._ident()
+            self.expect("op", "=")
+            assignments.append((col, self.parse_expr()))
+            if not self.accept("op", ","):
+                break
+        where = self.parse_expr() if self.accept("kw", "where") else None
+        return A.Update(table, assignments, where)
+
+    def parse_drop(self):
+        self._word("drop")
+        self._word("table")
+        if_exists = False
+        if self._at_word("if"):
+            self.next()
+            self._word("exists")
+            if_exists = True
+        return A.DropTable(self._ident(), if_exists)
+
+    def parse_set(self):
+        self._word("set")
+        name = self._ident()
+        if not self.accept("op", "="):
+            self._word("to")
+        t = self.next()
+        if t.kind == "number":
+            value = float(t.value) if "." in t.value else int(t.value)
+        elif t.kind == "string":
+            value = t.value
+        elif t.kind in ("ident", "kw"):
+            value = {"true": True, "false": False, "on": True,
+                     "off": False}.get(t.value.lower(), t.value)
+        else:
+            raise ParseError(f"bad SET value {t.value!r}")
+        return A.SetStmt(name, value)
+
+    def parse_transaction(self):
+        w = self._word("begin", "commit", "rollback", "abort")
+        if w == "begin" and self._at_word("transaction"):
+            self.next()
+        return A.TransactionStmt("rollback" if w == "abort" else w)
+
+    def parse_explain(self):
+        self._word("explain")
+        analyze = False
+        if self._at_word("analyze"):
+            self.next()
+            analyze = True
+        return A.ExplainStmt(self.parse_select(), analyze)
+
+    def parse_pragma(self):
+        self._word("pragma")
+        name = self._ident()
+        args = []
+        if self.accept("op", "("):
+            while not self.accept("op", ")"):
+                t = self.next()
+                if t.kind == "number":
+                    args.append(float(t.value) if "." in t.value
+                                else int(t.value))
+                else:
+                    args.append(t.value)
+                self.accept("op", ",")
+        return A.PragmaStmt(name, args)
+
     def parse_select(self) -> A.SelectStmt:
         self.expect("kw", "select")
         distinct = bool(self.accept("kw", "distinct"))
@@ -362,6 +576,11 @@ class Parser:
             default = self.parse_expr()
         self.expect("kw", "end")
         return A.CaseExpr(whens, default)
+
+
+def parse_statement(sql: str):
+    """Parse any statement (SELECT or DDL/DML)."""
+    return Parser(sql).parse_statement()
 
 
 def parse(sql: str) -> A.SelectStmt:

@@ -1,0 +1,271 @@
+"""Non-SELECT statement execution: DDL, DML, SET, transactions, EXPLAIN.
+
+Analog of the reference's statement dispatch in ClientContext (reference
+src/main/client_context.cpp routing parsed statements to CREATE/INSERT/
+DELETE/UPDATE/PRAGMA/transaction handlers) built on the engine's native
+pieces: Catalog/Table (storage), dml.append/delete/update (CUBIT
+update-conscious index maintenance), EngineConfig (SET registry), and
+functional-array snapshots for BEGIN/COMMIT/ROLLBACK.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.cubit import CubitIndex
+from ..index.pk import DirectPKIndex
+from ..plan import physical as P
+from ..storage import dml
+from ..storage.table import from_numpy
+from ..types import (BOOL, CHAR1, DATE, DOUBLE, INT32, INT64, VARCHAR,
+                     DataType, TypeId, date_to_days, decimal_to_int)
+from . import ast as A
+
+
+class StatementError(ValueError):
+    pass
+
+
+_TYPE_MAP = {
+    "integer": INT32, "int": INT32, "int4": INT32, "smallint": INT32,
+    "bigint": INT64, "int8": INT64, "hugeint": INT64,
+    "double": DOUBLE, "float": DOUBLE, "real": DOUBLE, "float8": DOUBLE,
+    "date": DATE,
+    "varchar": VARCHAR, "text": VARCHAR, "string": VARCHAR,
+    "boolean": BOOL, "bool": BOOL,
+}
+
+
+def _column_type(cd: A.ColumnDef) -> DataType:
+    t = cd.type_name
+    if t in ("decimal", "numeric"):
+        scale = cd.params[1] if len(cd.params) > 1 else 2
+        return DataType(TypeId.DECIMAL, scale)
+    if t == "char":
+        if cd.params and cd.params[0] == 1:
+            return CHAR1
+        return VARCHAR
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    raise StatementError(f"unsupported column type {t}")
+
+
+def _empty_np(dtype: DataType) -> np.ndarray:
+    if dtype.id == TypeId.VARCHAR:
+        return np.array([], dtype="S1")
+    return np.array([], dtype=dtype.np_dtype)
+
+
+def _literal_value(node, dtype: DataType):
+    """Evaluate a literal (or signed literal) insert expression to the
+    column's host representation."""
+    neg = False
+    while isinstance(node, A.UnaryOp) and node.op == "-":
+        neg = not neg
+        node = node.child
+    if isinstance(node, A.CastExpr):
+        node = node.child
+    if not isinstance(node, A.Literal):
+        raise StatementError(f"INSERT values must be literals, got {node!r}")
+    v = node.value
+    if dtype.id == TypeId.DECIMAL:
+        out = decimal_to_int(v, dtype.scale)
+        return -out if neg else out
+    if dtype.id == TypeId.DATE:
+        return date_to_days(str(v))
+    if dtype.id == TypeId.VARCHAR:
+        return str(v).encode()
+    if dtype.id == TypeId.CHAR1:
+        s = str(v)
+        if len(s) != 1:
+            raise StatementError(f"CHAR(1) literal {v!r} not one char")
+        return ord(s)
+    if dtype.id == TypeId.DOUBLE:
+        out = float(v)
+        return -out if neg else out
+    if dtype.id == TypeId.BOOL:
+        return bool(v) if not isinstance(v, str) else v.lower() == "true"
+    out = int(v)
+    return -out if neg else out
+
+
+def _match_rows(conn, table_name: str, where) -> np.ndarray:
+    """Evaluate a WHERE predicate -> matching row ids (host).
+
+    Runs the predicate through the same TableScan/expression path as
+    queries (one eager device pass), so DML predicate semantics are exactly
+    query semantics — the analog of the reference binding DELETE/UPDATE
+    through the planner (src/planner/binder/statement/bind_delete.cpp).
+    """
+    table = conn.catalog.table(table_name)
+    if where is None:
+        return np.nonzero(np.asarray(table.row_mask()))[0]
+    from .binder import _Scope
+
+    bt_cols = list(table.columns.keys())
+    scope = _Scope.__new__(_Scope)
+    scope.tables = []
+    scope.col_owner = {c: table_name for c in bt_cols}
+    scope.aliases = {}
+    expr = conn.binder.to_expr(where, scope)
+    plan = P.TableScan(table_name, filters=[expr])
+    rel = conn.executor.execute(plan, compiled=False, optimize=False)
+    return np.nonzero(np.asarray(rel.mask))[0]
+
+
+def execute_statement(conn, stmt):
+    """Execute a DDL/DML/utility statement; returns (status_string, rows)."""
+    if isinstance(stmt, A.CreateTable):
+        if stmt.name in conn.catalog.tables:
+            raise StatementError(f"table {stmt.name} already exists")
+        schema = {cd.name: _column_type(cd) for cd in stmt.columns}
+        data = {cd.name: _empty_np(schema[cd.name]) for cd in stmt.columns}
+        conn.catalog.register(from_numpy(stmt.name, data, schema))
+        return f"CREATE TABLE {stmt.name}", []
+
+    if isinstance(stmt, A.CreateIndex):
+        table = conn.catalog.table(stmt.table)
+        col = table.columns[stmt.column]
+        host = col.host[: table.num_rows] if col.host is not None else \
+            np.asarray(col.data[: table.num_rows])
+        if stmt.using == "pk":
+            pk = DirectPKIndex.build(stmt.column, host, table.num_rows)
+            if pk is None:
+                raise StatementError(
+                    f"{stmt.column} unsuitable for a direct PK index")
+            table.pk_indexes[stmt.column] = pk
+        else:
+            if col.dictionary is not None:
+                idx = CubitIndex.build(stmt.column, host.astype(np.int32),
+                                       table.capacity, table.num_rows,
+                                       max(len(col.dictionary), 1))
+            elif stmt.n_bins is not None:
+                vals = host.astype(np.int64)
+                lo = int(vals.min()) if len(vals) else 0
+                hi = int(vals.max()) + 1 if len(vals) else 1
+                edges = np.unique(np.linspace(
+                    lo, hi, stmt.n_bins + 1).astype(np.int64))[:-1]
+                idx = CubitIndex.build(stmt.column, vals, table.capacity,
+                                       table.num_rows, len(edges),
+                                       bin_edges=edges)
+            else:
+                values = np.unique(host.astype(np.int64))
+                if len(values) > (1 << 16):
+                    raise StatementError(
+                        f"{stmt.column}: {len(values)} distinct values; give "
+                        f"WITH (bins=N) to bin the bitmap index")
+                idx = CubitIndex.build(stmt.column, host.astype(np.int64),
+                                       table.capacity, table.num_rows,
+                                       max(len(values), 1), bin_edges=values)
+        if stmt.using != "pk":
+            table.indexes[stmt.column] = idx
+        table.version += 1
+        return f"CREATE INDEX on {stmt.table}({stmt.column})", []
+
+    if isinstance(stmt, A.Insert):
+        table = conn.catalog.table(stmt.table)
+        if stmt.select is not None:
+            raise StatementError("INSERT ... SELECT not supported yet")
+        cols = stmt.columns or list(table.columns.keys())
+        if set(cols) != set(table.columns.keys()):
+            raise StatementError("INSERT must provide every column")
+        rows = {}
+        for j, cname in enumerate(cols):
+            dtype = table.columns[cname].dtype
+            pos = cols.index(cname)
+            vals = [_literal_value(r[pos], dtype) for r in stmt.rows]
+            if dtype.id == TypeId.VARCHAR:
+                rows[cname] = np.array(vals, dtype="S")
+            else:
+                rows[cname] = np.array(vals, dtype=dtype.np_dtype)
+        first = dml.append_rows(table, rows)
+        return f"INSERT {len(stmt.rows)} (first rowid {first})", []
+
+    if isinstance(stmt, A.Delete):
+        table = conn.catalog.table(stmt.table)
+        rowids = _match_rows(conn, stmt.table, stmt.where)
+        if len(rowids):
+            dml.delete_rows(table, rowids)
+        else:
+            table.version += 1
+        return f"DELETE {len(rowids)}", []
+
+    if isinstance(stmt, A.Update):
+        table = conn.catalog.table(stmt.table)
+        rowids = _match_rows(conn, stmt.table, stmt.where)
+        if len(rowids):
+            for col_name, expr in stmt.assignments:
+                col = table.columns[col_name]
+                try:
+                    new_vals = np.full(len(rowids),
+                                       _literal_value(expr, col.dtype))
+                except StatementError:
+                    # general expression: evaluate over the table relation
+                    # and gather the assigned rows
+                    from .binder import _Scope
+
+                    scope = _Scope.__new__(_Scope)
+                    scope.tables = []
+                    scope.col_owner = {c: stmt.table for c in table.columns}
+                    scope.aliases = {}
+                    bound = conn.binder.to_expr(expr, scope)
+                    rel = conn.executor.execute(
+                        P.TableScan(stmt.table), compiled=False,
+                        optimize=False)
+                    typed = rel.evaluate(bound)
+                    new_vals = np.asarray(typed.array)[rowids]
+                dml.update_column(table, col_name, rowids, new_vals)
+        else:
+            table.version += 1
+        return f"UPDATE {len(rowids)}", []
+
+    if isinstance(stmt, A.DropTable):
+        if stmt.name not in conn.catalog.tables:
+            if stmt.if_exists:
+                return "DROP TABLE (skipped)", []
+            raise StatementError(f"unknown table {stmt.name}")
+        conn.catalog.drop(stmt.name)
+        return f"DROP TABLE {stmt.name}", []
+
+    if isinstance(stmt, A.SetStmt):
+        conn.config.set(stmt.name, stmt.value)
+        return f"SET {stmt.name} = {stmt.value}", []
+
+    if isinstance(stmt, A.TransactionStmt):
+        if stmt.kind == "begin":
+            conn.begin()
+        elif stmt.kind == "commit":
+            conn.commit()
+        else:
+            conn.rollback()
+        return stmt.kind.upper(), []
+
+    if isinstance(stmt, A.ExplainStmt):
+        plan = conn.binder.bind(stmt.query)
+        from ..plan import optimizer as opt
+
+        plan = opt.optimize(plan, conn.catalog)
+        lines = []
+
+        def walk(op, d):
+            lines.append("  " * d + op.describe())
+            for c in op.children:
+                walk(c, d + 1)
+
+        walk(plan, 0)
+        if stmt.analyze:
+            conn.executor.execute(plan, profile=True, optimize=False)
+            lines.append(conn.executor.profiler.render(plan))
+        return "EXPLAIN", [[line] for line in lines]
+
+    if isinstance(stmt, A.PragmaStmt):
+        if stmt.name.lower() == "tpch":
+            from ..tpch import queries
+
+            rel = queries.run(conn.executor, int(stmt.args[0]))
+            from ..exec import result as R
+
+            return "PRAGMA tpch", R.to_strings(rel)
+        raise StatementError(f"unknown pragma {stmt.name}")
+
+    raise StatementError(f"unhandled statement {type(stmt).__name__}")

@@ -55,23 +55,32 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
     new_count = first + n_new
     grow = new_count > table.capacity
     new_capacity = pad_count(new_count) if grow else table.capacity
+    remapped_dict_cols = []
     for name, col in table.columns.items():
         vals = rows[name]
         if col.dictionary is not None:
-            codes = np.empty(n_new, np.int32)
-            extra = []
-            dict_list = col.dictionary
-            for i, v in enumerate(np.asarray(vals)):
-                b = v if isinstance(v, bytes) else str(v).encode()
-                pos = np.searchsorted(dict_list, b)
-                if pos < len(dict_list) and dict_list[pos] == b:
-                    codes[i] = pos
-                else:
-                    extra.append(b)
-                    codes[i] = len(dict_list) + len(extra) - 1
-            if extra:
-                col.dictionary = np.concatenate(
-                    [dict_list, np.array(extra, dtype=dict_list.dtype)])
+            # sorted-dictionary invariant: the whole engine (ordered string
+            # predicates, LIKE truth tables, CUBIT dict bins) relies on codes
+            # being order-preserving.  New strings therefore re-encode: build
+            # the merged sorted dictionary and remap existing codes with one
+            # device gather (functional, snapshot-safe).
+            vals_b = np.array([v if isinstance(v, bytes) else str(v).encode()
+                               for v in np.asarray(vals)], dtype="S")
+            old_dict = col.dictionary
+            width = max(old_dict.dtype.itemsize, vals_b.dtype.itemsize, 1)
+            merged = np.unique(np.concatenate(
+                [old_dict.astype(f"S{width}"), vals_b.astype(f"S{width}")]))
+            if len(merged) != len(old_dict):
+                old_to_new = np.searchsorted(
+                    merged, old_dict.astype(f"S{width}")).astype(np.int32)
+                if len(old_to_new):
+                    col.data = jnp.asarray(old_to_new)[col.data]
+                    if col.host is not None:
+                        col.host = old_to_new[col.host]
+                col.dictionary = merged
+                remapped_dict_cols.append(name)
+            codes = np.searchsorted(
+                merged, vals_b.astype(f"S{width}")).astype(np.int32)
             host_new = codes
             dev_new = jnp.asarray(codes)
         else:
@@ -85,9 +94,10 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
             data = jnp.concatenate([data, pad])
         data = data.at[first:new_count].set(dev_new)
         col.data = data
-        # index deltas
+        # index deltas (skipped for remapped dictionary columns — their
+        # bitmap bins live in the old code space and are rebuilt below)
         idx = table.indexes.get(name)
-        if idx is not None:
+        if idx is not None and name not in remapped_dict_cols:
             for i in range(n_new):
                 idx.insert(first + i, host_new[i])
     if getattr(table, "deleted", None) is not None and grow:
@@ -111,6 +121,14 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
         for idx in table.indexes.values():
             if idx.pending_updates:
                 idx.merge()
+    # dictionary remaps invalidate code-space bitmap bins: rebuild
+    for name in remapped_dict_cols:
+        if name in table.indexes:
+            from ..index.cubit import CubitIndex
+            col = table.columns[name]
+            table.indexes[name] = CubitIndex.build(
+                name, col.host.astype(np.int32), table.capacity,
+                table.num_rows, len(col.dictionary))
     # PK indexes: rebuild lazily (host build is cheap)
     if table.pk_indexes:
         from ..index.pk import DirectPKIndex
@@ -154,6 +172,8 @@ def update_column(table: Table, column: str, row_ids: np.ndarray,
     new_host = np.asarray(new_values, dtype=old.dtype)
     col.data = col.data.at[jnp.asarray(row_ids)].set(jnp.asarray(new_host))
     if col.host is not None:
+        # copy-on-write so catalog snapshots (transactions) stay consistent
+        col.host = col.host.copy()
         col.host[row_ids] = new_host
     idx = table.indexes.get(column)
     if idx is not None:

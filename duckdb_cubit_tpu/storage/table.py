@@ -236,7 +236,32 @@ class Catalog:
         self.foreign_keys[fk_column] = (pk_table, pk_column)
 
     def table(self, name: str) -> Table:
+        if name not in self.tables:
+            raise KeyError(f"unknown table {name}")
         return self.tables[name]
 
     def drop(self, name: str):
         self.tables.pop(name, None)
+
+    # ------------------------------------------------------- transactions
+    # Device arrays are functional and DML follows copy-on-write for host
+    # state, so a snapshot is a shallow structural copy: BEGIN/ROLLBACK get
+    # MVCC semantics without any data copying (the analog of the
+    # reference's DuckTransaction + version managers,
+    # src/transaction/duck_transaction.cpp).
+    def snapshot(self):
+        import copy
+
+        snap_tables = {}
+        for name, t in self.tables.items():
+            t2 = copy.copy(t)
+            t2.columns = {n: copy.copy(c) for n, c in t.columns.items()}
+            t2.indexes = {n: ix.clone() if hasattr(ix, "clone")
+                          else copy.copy(ix) for n, ix in t.indexes.items()}
+            t2.pk_indexes = dict(t.pk_indexes)
+            snap_tables[name] = t2
+        return (snap_tables, dict(self.foreign_keys))
+
+    def restore(self, snap):
+        self.tables = dict(snap[0])
+        self.foreign_keys = dict(snap[1])

@@ -88,7 +88,10 @@ def main():
             for r in rows[:100]:
                 print(" | ".join(r))
             extra = f", {dt:.3f}s" if timing else ""
-            print(f"({len(rows)} rows{extra})")
+            if res.status and not rows:
+                print(f"{res.status}{f' ({dt:.3f}s)' if timing else ''}")
+            else:
+                print(f"({len(rows)} rows{extra})")
         except Exception as e:
             print(f"error: {e}")
 

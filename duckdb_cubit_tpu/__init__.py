@@ -18,10 +18,28 @@ Layer map (mirrors SURVEY.md §1 for the reference):
   tpch/          - TPC-H dbgen, the 22 queries, golden-answer harness
 """
 
+import os
+
 import jax
 
 # Exact 64-bit integer arithmetic is the engine's decimal representation;
 # enable before any array is created.
 jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+# Persistent XLA compilation cache: a repeated cold-process query skips its
+# first-compile (the analog of the reference shipping pre-compiled plans in
+# the prepared-statement cache; at SF1 on a remote chip a single query plan
+# costs 70-160s to compile the first time).  Shape bucketing (storage.table
+# pad_count) keeps the number of distinct entries small.
+_cache_dir = os.environ.get(
+    "DUCKDB_CUBIT_TPU_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "duckdb_cubit_tpu", "xla"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except (OSError, AttributeError):  # read-only fs / old jax: cache is optional
+    pass
+
+__version__ = "0.2.0"

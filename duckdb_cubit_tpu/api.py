@@ -119,6 +119,13 @@ class Connection:
 
     def explain(self, query: str) -> str:
         plan = self.binder.bind_sql(query)
+        return self.explain_plan(plan)
+
+    def explain_plan(self, plan) -> str:
+        """Operator tree + pipeline decomposition (EXPLAIN analog; the
+        pipeline section mirrors the reference's MetaPipeline breakdown,
+        meta_pipeline.cpp:69)."""
+        from .exec.executor import build_pipelines
         from .plan import optimizer as opt
 
         plan = opt.optimize(plan, self.catalog)
@@ -130,6 +137,12 @@ class Connection:
                 walk(c, d + 1)
 
         walk(plan, 0)
+        pipelines = build_pipelines(plan)
+        lines.append(f"-- pipelines ({len(pipelines)}):")
+        for i, p in enumerate(pipelines):
+            deps = [pipelines.index(d) for d in p.dependencies]
+            dep_s = f" deps={deps}" if deps else ""
+            lines.append(f"  [{i}]{dep_s} {p.describe()}")
         return "\n".join(lines)
 
 

@@ -45,3 +45,11 @@ class EngineConfig:
 
     def settings(self) -> dict:
         return dataclasses.asdict(self)
+
+    def plan_key(self) -> tuple:
+        """Fields that change compiled-plan decisions; part of every plan
+        cache key so a SET takes effect on the next execution (the analog of
+        the reference re-planning prepared statements on setting changes)."""
+        return (self.index_scan_percentage, self.index_scan_max_count,
+                self.small_group_limit, self.dense_domain_limit,
+                self.join_expansion_factor, self.memory_limit)

@@ -13,6 +13,7 @@ a thread pool.
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 
 from ..plan import optimizer as opt
 from ..plan.physical import ExecContext, PhysicalOperator, Relation
@@ -77,8 +78,11 @@ class Executor:
     nice-to-have.)
     """
 
-    _compiled_cache: dict = {}
-    _prepare_cache: dict = {}
+    # bounded LRU plan caches (class-level so sessions share compilations;
+    # DML version bumps naturally retire stale entries via eviction)
+    _compiled_cache: OrderedDict = OrderedDict()
+    _prepare_cache: OrderedDict = OrderedDict()
+    CACHE_LIMIT = 256
     # operator attributes produced by prepare() (host shape decisions)
     _PREP_ATTRS = ("_words", "_decode_cap", "_pk", "_reverse_pk", "_fk_dense")
 
@@ -86,10 +90,18 @@ class Executor:
         self.catalog = catalog
         self.config = config
 
+    @staticmethod
+    def _cache_put(cache, key, value):
+        cache[key] = value
+        cache.move_to_end(key)
+        while len(cache) > Executor.CACHE_LIMIT:
+            cache.popitem(last=False)
+
     def _catalog_version(self):
-        return tuple(sorted(
+        cfg = self.config.plan_key() if self.config is not None else ()
+        return (cfg, tuple(sorted(
             (name, t.version, t.num_rows)
-            for name, t in self.catalog.tables.items()))
+            for name, t in self.catalog.tables.items())))
 
     def execute(self, plan: PhysicalOperator, profile: bool = False,
                 optimize: bool = True, compiled: bool | None = None):
@@ -98,16 +110,40 @@ class Executor:
         profiler = QueryProfiler() if profile else None
         if optimize:
             plan = opt.optimize(plan, self.catalog)
-        self.pipelines = build_pipelines(plan)
         self.plan = plan
         self.profiler = profiler
+        if (compiled and self.config is not None
+                and self.config.enable_verification):
+            return self._execute_verified(plan)
         if not compiled:
-            ctx = ExecContext(self.catalog, self.config, profiler)
-            if profiler:
-                with profiler.phase("execute"):
-                    return plan.execute(ctx)
-            return plan.execute(ctx)
+            return self._execute_eager(plan, profiler)
         return self._execute_compiled(plan)
+
+    def _execute_eager(self, plan, profiler=None):
+        ctx = ExecContext(self.catalog, self.config, profiler)
+        if profiler:
+            with profiler.phase("execute"):
+                rel = plan.execute(ctx)
+        else:
+            rel = plan.execute(ctx)
+        # runtime assertions accumulate on the context in eager mode too
+        rel.checks = list(ctx.checks)
+        return rel
+
+    def _execute_verified(self, plan):
+        """PRAGMA enable_verification analog (reference
+        src/main/client_verify.cpp:24): run the compiled program AND the
+        eager interpreter and require identical materialized results."""
+        from .result import to_strings
+
+        compiled_rel = self._execute_compiled(plan)
+        eager_rel = self._execute_eager(plan)
+        a, b = to_strings(compiled_rel), to_strings(eager_rel)
+        if sorted(map(tuple, a)) != sorted(map(tuple, b)):
+            raise RuntimeError(
+                "verification failed: compiled and eager results differ "
+                f"(compiled {len(a)} rows, eager {len(b)} rows)")
+        return compiled_rel
 
     # ------------------------------------------------------- compiled path
     def _execute_compiled(self, plan: PhysicalOperator):
@@ -133,10 +169,10 @@ class Executor:
         if prep is None:
             ctx_a = ExecContext(self.catalog, self.config, None)
             plan.prepare(ctx_a)
-            Executor._prepare_cache[key0] = [
+            Executor._cache_put(Executor._prepare_cache, key0, [
                 {a: getattr(op, a) for a in Executor._PREP_ATTRS
                  if hasattr(op, a)}
-                for op in ops]
+                for op in ops])
         else:
             for op, attrs in zip(ops, prep):
                 for a, v in attrs.items():
@@ -171,7 +207,7 @@ class Executor:
                 spec.append((op, "pk_lut", None))
                 arrays.append(self.catalog.table(pk_table).pk_indexes[pk_col].lut)
 
-        sig = (plan.signature(),
+        sig = (plan.signature(), self._catalog_version(),
                tuple((a.shape, str(a.dtype)) for a in arrays))
         entry = Executor._compiled_cache.get(sig)
         if entry is None:
@@ -203,7 +239,7 @@ class Executor:
 
             jitted = jax.jit(traced)
             entry = (jitted, meta_box)
-            Executor._compiled_cache[sig] = entry
+            Executor._cache_put(Executor._compiled_cache, sig, entry)
         jitted, meta_box = entry
         return jitted, arrays, meta_box
 

@@ -75,16 +75,3 @@ def pack_mask(mask: jnp.ndarray, n_words: int) -> jnp.ndarray:
     lanes = padded.reshape(n_words, WORD_BITS)
     weights = (jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32))
     return jnp.sum(lanes * weights[None, :], axis=1, dtype=jnp.uint32)
-
-
-@functools.partial(jax.jit, static_argnames=("capacity", "max_rows"))
-def decode_rowids(words: jnp.ndarray, capacity: int, max_rows: int):
-    """Bitvector -> (row ids padded to max_rows, count).
-
-    The CUBIT decode step: set bits become a row-id selection vector for the
-    selective column probe (the analog of DataTable::Fetch feeding
-    IndexScanFunction).
-    """
-    mask = expand(words, capacity)
-    (idx,) = jnp.nonzero(mask, size=max_rows, fill_value=capacity)
-    return idx, jnp.sum(mask.astype(jnp.int64))

@@ -76,41 +76,3 @@ def group_by_sort(keys: tuple, valid: jnp.ndarray, capacity: int) -> GroupedKeys
     rep = jnp.full(capacity, -1, jnp.int32).at[
         jnp.where(first, gid_sorted, capacity)].set(srows, mode="drop")
     return GroupedKeys(gids, valid, num_groups, rep)
-
-
-class AggSpec:
-    """One aggregate: kind in {sum, count, min, max, sum_double, avg_double}."""
-
-    def __init__(self, kind: str, name: str):
-        self.kind = kind
-        self.name = name
-
-
-def aggregate_dense(codes: jnp.ndarray, valid: jnp.ndarray, num_groups: int,
-                    values: dict[str, jnp.ndarray], specs: list[tuple[str, str]]):
-    """Run aggregates over dense group codes.
-
-    specs: list of (kind, value_name); value_name None for count.
-    Returns dict name->device result; 'sum' yields (hi, lo) pairs.
-    """
-    out = {}
-    for kind, vname in specs:
-        key = f"{kind}:{vname}"
-        if kind == "count":
-            out[key] = kernels.group_count(codes, valid, num_groups)
-        elif kind == "sum":
-            out[key] = kernels.group_sum_exact(codes, values[vname], valid,
-                                               num_groups)
-        elif kind == "sum_double":
-            v = jnp.where(valid, values[vname], 0.0)
-            out[key] = jnp.zeros(num_groups, jnp.float64).at[
-                jnp.where(valid, codes, 0)].add(v)
-        elif kind == "min":
-            out[key] = kernels.group_min(codes, values[vname], valid,
-                                         num_groups, jnp.int64(2**62))
-        elif kind == "max":
-            out[key] = kernels.group_max(codes, values[vname], valid,
-                                         num_groups, jnp.int64(-(2**62)))
-        else:
-            raise ValueError(kind)
-    return out

@@ -71,7 +71,7 @@ SMALL_GROUP_LIMIT = 32
 
 
 def group_sum_exact(codes: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray,
-                    num_groups: int):
+                    num_groups: int, small_limit: int = SMALL_GROUP_LIMIT):
     """Exact grouped int64 sum -> (hi, lo) arrays.
 
     Integer adds are order-independent, so both strategies (unrolled masked
@@ -79,7 +79,7 @@ def group_sum_exact(codes: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray,
     `codes` must be in [0, num_groups); masked-out rows are dropped.
     """
     hi, lo = _split_hi_lo(jnp.where(mask, values, jnp.int64(0)))
-    if num_groups <= SMALL_GROUP_LIMIT:
+    if num_groups <= small_limit:
         ghi = jnp.stack([jnp.sum(jnp.where(codes == g, hi, jnp.int64(0)))
                          for g in range(num_groups)])
         glo = jnp.stack([jnp.sum(jnp.where(codes == g, lo, jnp.int64(0)))
@@ -91,8 +91,9 @@ def group_sum_exact(codes: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray,
     return ghi, glo
 
 
-def group_count(codes: jnp.ndarray, mask: jnp.ndarray, num_groups: int):
-    if num_groups <= SMALL_GROUP_LIMIT:
+def group_count(codes: jnp.ndarray, mask: jnp.ndarray, num_groups: int,
+                small_limit: int = SMALL_GROUP_LIMIT):
+    if num_groups <= small_limit:
         return jnp.stack([
             jnp.sum(jnp.where(mask & (codes == g), jnp.int64(1), jnp.int64(0)))
             for g in range(num_groups)])
@@ -101,18 +102,20 @@ def group_count(codes: jnp.ndarray, mask: jnp.ndarray, num_groups: int):
     return jnp.zeros(num_groups, jnp.int64).at[safe_codes].add(ones)
 
 
-def group_min(codes, values, mask, num_groups, sentinel):
+def group_min(codes, values, mask, num_groups, sentinel,
+              small_limit: int = SMALL_GROUP_LIMIT):
     vals = jnp.where(mask, values, sentinel)
-    if num_groups <= SMALL_GROUP_LIMIT:
+    if num_groups <= small_limit:
         return jnp.stack([jnp.min(jnp.where(codes == g, vals, sentinel))
                           for g in range(num_groups)])
     safe_codes = jnp.where(mask, codes, 0)
     return jnp.full(num_groups, sentinel, values.dtype).at[safe_codes].min(vals)
 
 
-def group_max(codes, values, mask, num_groups, sentinel):
+def group_max(codes, values, mask, num_groups, sentinel,
+              small_limit: int = SMALL_GROUP_LIMIT):
     vals = jnp.where(mask, values, sentinel)
-    if num_groups <= SMALL_GROUP_LIMIT:
+    if num_groups <= small_limit:
         return jnp.stack([jnp.max(jnp.where(codes == g, vals, sentinel))
                           for g in range(num_groups)])
     safe_codes = jnp.where(mask, codes, 0)

@@ -197,6 +197,64 @@ def push_filters(op: P.PhysicalOperator,
     return out
 
 
+def _stats_bounds(table, col_name):
+    """Global (min, max) from the column's zone map, or None."""
+    c = table.columns.get(col_name)
+    if c is None or c.zone_map is None:
+        return None
+    return int(c.zone_map.mins.min()), int(c.zone_map.maxs.max())
+
+
+def _classify_vs_bounds(op: str, v: int, lo: int, hi: int) -> str:
+    """'always' | 'never' | 'maybe' for `col op v` given col in [lo, hi]."""
+    table = {
+        "<":  (hi < v,  lo >= v),
+        "<=": (hi <= v, lo > v),
+        ">":  (lo > v,  hi <= v),
+        ">=": (lo >= v, hi < v),
+        "==": (lo == hi == v, v < lo or v > hi),
+        "!=": (v < lo or v > hi, lo == hi == v),
+    }
+    always, never = table[op]
+    return "always" if always else ("never" if never else "maybe")
+
+
+def propagate_statistics(scan: P.TableScan, table) -> None:
+    """Zone-map statistics propagation over pushed scan conjuncts, in place.
+
+    The analog of the reference's StatisticsPropagator constant-folding
+    (src/optimizer/statistics_propagator.cpp via optimizer.cpp:102) backed by
+    the same per-block min/max statistics the scan's zone-map skip uses
+    (row_group.cpp:407 CheckZonemapSegments): conjuncts proven true by the
+    column's global bounds are dropped; a conjunct proven false marks the
+    whole scan empty (`always_false`, consumed by TableScan._execute).
+    """
+    kept = []
+    for conj in [c for f in scan.filters for c in split_conjuncts(f)]:
+        verdict = "maybe"
+        if isinstance(conj, E.Compare):
+            left, right, op = conj.left, conj.right, conj.op
+            if isinstance(right, E.Col) and isinstance(left, E.Lit):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                        "==": "==", "!=": "!="}
+                left, right, op = right, left, flip[op]
+            if isinstance(left, E.Col) and isinstance(right, E.Lit):
+                bounds = _stats_bounds(table, left.name)
+                v = None if bounds is None else _literal_device_value(
+                    right, table.columns[left.name].dtype,
+                    table.columns[left.name].dictionary)
+                if bounds is not None and v is not None:
+                    verdict = _classify_vs_bounds(op, v, *bounds)
+        if verdict == "never":
+            scan.always_false = True
+            scan.filters = []
+            scan.index_filters = []
+            return
+        if verdict != "always":
+            kept.append(conj)
+    scan.filters = kept
+
+
 def optimize(plan: P.PhysicalOperator, catalog) -> P.PhysicalOperator:
     plan = push_filters(plan)
     seen = set()
@@ -209,7 +267,8 @@ def optimize(plan: P.PhysicalOperator, catalog) -> P.PhysicalOperator:
             walk(c)
         if isinstance(op, P.TableScan):
             table = catalog.table(op.table_name)
-            if table.indexes:
+            propagate_statistics(op, table)
+            if table.indexes and not getattr(op, "always_false", False):
                 match_index_filters(op, table)
 
     walk(plan)

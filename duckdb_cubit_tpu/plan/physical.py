@@ -189,11 +189,14 @@ class TableScan(PhysicalOperator):
 
     name = "table_scan"
 
+    DEFAULT_THRESHOLD = 0.001
+    DEFAULT_MAX_COUNT = 1 << 14
+
     def __init__(self, table_name: str, filters: Sequence[Expr] = (),
                  projection: Sequence[str] | None = None,
                  index_filters: Sequence[tuple] | None = None,
-                 decode_threshold: float = 0.001,
-                 decode_max_count: int = 1 << 14):
+                 decode_threshold: float = DEFAULT_THRESHOLD,
+                 decode_max_count: int = DEFAULT_MAX_COUNT):
         super().__init__()
         self.table_name = table_name
         self.filters = list(filters)
@@ -253,15 +256,26 @@ class TableScan(PhysicalOperator):
         the decode-vs-mask decision from host-side bin cardinalities (the
         reference threshold, table_scan.cpp:348-356).  No device->host pull:
         the decision uses the index's host bin counts, and the decode path's
-        exact count stays a traced device scalar."""
+        exact count stays a traced device scalar.
+
+        The thresholds come from the session config when present (the analog
+        of SET index_scan_percentage / index_scan_max_count, reference
+        config.hpp:246-253); constructor arguments are plan-level overrides.
+        """
         table = ctx.catalog.table(self.table_name)
+        threshold = self.decode_threshold
+        max_count = self.decode_max_count
+        if ctx.config is not None:
+            if self.decode_threshold == TableScan.DEFAULT_THRESHOLD:
+                threshold = ctx.config.index_scan_percentage
+            if self.decode_max_count == TableScan.DEFAULT_MAX_COUNT:
+                max_count = ctx.config.index_scan_max_count
         self._words = self._index_words(table)
         self._decode_cap = None
         if self._words is not None and not self.filters:
             n_rows = table.num_rows
             bound = self._index_count_bound(table)
-            limit = max(self.decode_max_count,
-                        int(n_rows * self.decode_threshold))
+            limit = max(max_count, int(n_rows * threshold))
             if bound is not None and bound <= limit and bound < n_rows // 2:
                 cap = pad_count(bound)
                 if cap < table.capacity:
@@ -290,6 +304,11 @@ class TableScan(PhysicalOperator):
              for n in cols},
             base_mask,
             table.capacity)
+        if getattr(self, "always_false", False):
+            # statistics propagation proved the filters unsatisfiable
+            # (zone-map global bounds, the analog of the reference's
+            # StatisticsPropagator constant-folding, optimizer.cpp:102)
+            return rel.with_mask(jnp.zeros(table.capacity, jnp.bool_))
         mask = rel.mask
         if words is not None:
             mask = mask & bm.expand(words, rel.capacity)
@@ -307,8 +326,10 @@ class TableScan(PhysicalOperator):
     def _self_signature(self):
         idx = ";".join(f"{c}:{k}:{a}" for c, k, a in self.index_filters)
         decode = getattr(self, "_decode_cap", None)
+        ff = getattr(self, "always_false", False)
         return (f"table_scan[{self.table_name};{self.projection};"
-                f"{[repr(f) for f in self.filters]};{idx};decode={decode}]")
+                f"{[repr(f) for f in self.filters]};{idx};decode={decode};"
+                f"ff={ff}]")
 
     def describe(self):
         idx = f" index={[(c, k) for c, k, _ in self.index_filters]}" if self.index_filters else ""
@@ -402,19 +423,22 @@ class HashJoin(PhysicalOperator):
     def blocking_children(self):
         return [self.children[1]]
 
-    def _join_keys(self, rel: Relation, names: list[str]):
+    def _join_keys(self, ctx, rel: Relation, names: list[str]):
         """Combine key columns into one int64 hash key.
 
-        Multi-column keys hash-combine; the probe paths then re-verify the
-        actual key columns after the match (collision safety), mirroring the
-        reference's full-key ResolvePredicates after the salt prefilter
-        (join_hashtable.cpp:768).
+        The 2-column case packs exactly (collision-free) and attaches a
+        runtime range check for the low word.  3+ columns hash-combine, and
+        EVERY probe path re-verifies the actual key columns after the match
+        (collision safety), mirroring the reference's full-key
+        ResolvePredicates after the salt prefilter (join_hashtable.cpp:768).
         """
         key = rel.columns[names[0]].array.astype(jnp.int64)
         if len(names) == 2:
-            # exact packing for the common 2-column case (TPC-H composite
-            # keys are all < 2**31): no collision risk at all
             nxt = rel.columns[names[1]].array.astype(jnp.int64)
+            ok = jnp.all(jnp.where(rel.mask,
+                                   (nxt >= 0) & (nxt < jnp.int64(1) << 32),
+                                   True))
+            ctx.checks.append((f"join_key_pack_range[{names[1]}]", ok))
             key = (key << jnp.int64(32)) + nxt
         elif len(names) > 2:
             for n in names[1:]:
@@ -422,16 +446,16 @@ class HashJoin(PhysicalOperator):
                 key = kernels.hash64(key).astype(jnp.int64) * jnp.int64(2654435761) ^ nxt
         return key
 
-    def _verify_multi_key(self, probe_rel, build_rel, build_rows, mask):
-        """AND the mask with exact equality of every key column pair."""
-        if len(self.probe_keys) <= 1:
-            return mask
-        safe = jnp.clip(build_rows, 0, build_rel.capacity - 1)
+    def _exact_eq(self, probe_rel, build_rel, probe_rows, build_rows, base):
+        """AND `base` with exact equality of every key column pair, gathered
+        through explicit row-index vectors (collision re-check)."""
+        safe_p = jnp.clip(probe_rows, 0, probe_rel.capacity - 1)
+        safe_b = jnp.clip(build_rows, 0, build_rel.capacity - 1)
         for pk, bk in zip(self.probe_keys, self.build_keys):
-            pa = probe_rel.columns[pk].array
-            ba = jnp.take(build_rel.columns[bk].array, safe, axis=0)
-            mask = mask & (pa.astype(jnp.int64) == ba.astype(jnp.int64))
-        return mask
+            pa = jnp.take(probe_rel.columns[pk].array, safe_p, axis=0)
+            ba = jnp.take(build_rel.columns[bk].array, safe_b, axis=0)
+            base = base & (pa.astype(jnp.int64) == ba.astype(jnp.int64))
+        return base
 
     def prepare(self, ctx: ExecContext):
         super().prepare(ctx)
@@ -497,20 +521,48 @@ class HashJoin(PhysicalOperator):
                 True, mode="drop")[: probe_rel.capacity]
             m = ~hit if self.join_type == "anti" else hit
             return probe_rel.with_mask(probe_rel.mask & m)
-        bkey = self._join_keys(build_rel, self.build_keys)
-        pkey = self._join_keys(probe_rel, self.probe_keys)
+        bkey = self._join_keys(ctx, build_rel, self.build_keys)
+        pkey = self._join_keys(ctx, probe_rel, self.probe_keys)
         bs = join_ops.build(bkey, build_rel.mask)
         if self.join_type in ("semi", "anti"):
+            if len(self.probe_keys) > 2:
+                # hash-combined keys can collide: route through expansion +
+                # exact re-check + scatter-any (ResolvePredicates analog)
+                hit = self._semi_exact(ctx, probe_rel, build_rel, bs, pkey)
+                m = ~hit if self.join_type == "anti" else hit
+                return probe_rel.with_mask(m & probe_rel.mask)
             m = join_ops.semi_mask(bs, pkey, probe_rel.mask,
                                    anti=self.join_type == "anti")
             return probe_rel.with_mask(m)
         if self.single_match:
-            build_row, found = join_ops.probe_single(bs, pkey, probe_rel.mask)
+            entry = join_ops.probe(bs, pkey, probe_rel.mask)
+            found = entry >= 0
+            safe_e = jnp.maximum(entry, 0)
+            build_row = jnp.where(found, bs.sorted_rows[bs.starts[safe_e]], -1)
+            # single-match contract: the matched build keys must be unique,
+            # otherwise inner drops matches / left dups silently (the
+            # reference expands chains instead, join_hashtable.cpp:768)
+            unique_ok = jnp.all(jnp.where(found, bs.counts[safe_e] <= 1, True))
+            ctx.checks.append(("single_match_build_unique", unique_ok))
             if len(self.probe_keys) > 2:
-                found = self._verify_multi_key(probe_rel, build_rel,
-                                               build_row, found)
+                probe_rows = jnp.arange(probe_rel.capacity, dtype=jnp.int32)
+                found = self._exact_eq(probe_rel, build_rel, probe_rows,
+                                       build_row, found)
             return self._gather_single(probe_rel, build_rel, build_row, found)
         return self._expand(ctx, probe_rel, build_rel, bs, pkey)
+
+    def _semi_exact(self, ctx, probe_rel, build_rel, bs, pkey):
+        """Exact semi-join hit mask for hash-combined (3+ column) keys."""
+        cap = self.out_capacity or pad_count(probe_rel.capacity)
+        entry = join_ops.probe(bs, pkey, probe_rel.mask)
+        out_probe, out_build, total = join_ops.expand_matches(
+            bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
+        ctx.checks.append((f"semi_expansion<= {cap}", total <= cap))
+        valid = (jnp.arange(cap) < total) & (out_probe >= 0)
+        eq = self._exact_eq(probe_rel, build_rel, out_probe, out_build, valid)
+        tgt = jnp.where(eq, jnp.maximum(out_probe, 0), probe_rel.capacity)
+        return jnp.zeros(probe_rel.capacity + 1, jnp.bool_).at[tgt].set(
+            True, mode="drop")[: probe_rel.capacity]
 
     def _gather_single(self, probe_rel, build_rel, build_row, found):
         safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
@@ -530,11 +582,21 @@ class HashJoin(PhysicalOperator):
 
     def _expand(self, ctx, probe_rel, build_rel, bs, pkey):
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
-        cap = self.out_capacity or pad_count(probe_rel.capacity)
+        cap = self.out_capacity
+        if cap is None:
+            # cardinality guess from the session config (reference analog:
+            # statistics-fed build-size estimates, join_hashtable.cpp:1312);
+            # the deferred check below catches an undershoot at runtime
+            factor = (ctx.config.join_expansion_factor
+                      if ctx.config is not None else 1.0)
+            cap = pad_count(int(probe_rel.capacity * factor))
         out_probe, out_build, total = join_ops.expand_matches(
             bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
         ctx.checks.append((f"join_expansion<= {cap}", total <= cap))
         valid = jnp.arange(cap) < total
+        if len(self.probe_keys) > 2:
+            valid = self._exact_eq(probe_rel, build_rel, out_probe, out_build,
+                                   valid & (out_probe >= 0))
         out = probe_rel.gather(out_probe, valid, cap)
         cols = dict(out.columns)
         safe_b = jnp.clip(out_build, 0, build_rel.capacity - 1)
@@ -574,10 +636,12 @@ class GroupAggregate(PhysicalOperator):
 
     name = "group_aggregate"
 
+    DEFAULT_DENSE_LIMIT = 1 << 22
+
     def __init__(self, child: PhysicalOperator, keys: Sequence[str],
                  aggregates: Sequence[Aggregate],
                  carry: Sequence[str] = (),
-                 dense_domain_limit: int = 1 << 22):
+                 dense_domain_limit: int = DEFAULT_DENSE_LIMIT):
         super().__init__([child])
         self.keys = list(keys)
         self.aggregates = list(aggregates)
@@ -616,6 +680,9 @@ class GroupAggregate(PhysicalOperator):
         rel = self.children[0].execute(ctx)
         if not hasattr(self, "_fk_dense"):
             self.prepare(ctx)
+        # unroll-vs-scatter strategy threshold (SET small_group_limit)
+        self._small = (ctx.config.small_group_limit
+                       if ctx.config is not None else kernels.SMALL_GROUP_LIMIT)
         evaluated: dict[str, Typed] = {}
         for agg in self.aggregates:
             if agg.expr is not None:
@@ -659,8 +726,12 @@ class GroupAggregate(PhysicalOperator):
             else:
                 dense_ok = False
                 break
+        dense_limit = self.dense_domain_limit
+        if (ctx.config is not None
+                and dense_limit == GroupAggregate.DEFAULT_DENSE_LIMIT):
+            dense_limit = ctx.config.dense_domain_limit
         total = int(np.prod(dense_sizes)) if dense_ok else None
-        if dense_ok and total <= self.dense_domain_limit and not self.carry:
+        if dense_ok and total <= dense_limit and not self.carry:
             codes, num_groups = groupby_ops.mixed_radix_codes(
                 dense_codes, dense_sizes)
             gids, valid = codes, rel.mask
@@ -676,7 +747,8 @@ class GroupAggregate(PhysicalOperator):
         return Relation(out_cols, out_mask, num_groups)
 
     def _aggregate(self, rel, evaluated, gids, valid, num_groups, rep):
-        counts = kernels.group_count(gids, valid, num_groups)
+        counts = kernels.group_count(gids, valid, num_groups,
+                                     small_limit=self._small)
         occupied = counts > 0
         out_cols: dict[str, RelColumn] = {}
         # group key columns
@@ -725,7 +797,8 @@ class GroupAggregate(PhysicalOperator):
         if agg.kind in ("sum", "avg") and t.dtype.id in (
                 TypeId.DECIMAL, TypeId.INT32, TypeId.INT64):
             hi, lo = kernels.group_sum_exact(
-                gids, t.array.astype(jnp.int64), valid, num_groups)
+                gids, t.array.astype(jnp.int64), valid, num_groups,
+                small_limit=self._small)
             combined = (hi << jnp.int64(32)) + lo
             if agg.kind == "sum":
                 return RelColumn(combined, DataType(TypeId.DECIMAL, t.dtype.scale)
@@ -746,11 +819,13 @@ class GroupAggregate(PhysicalOperator):
             return RelColumn(s, DOUBLE, None)
         if agg.kind == "min":
             r = kernels.group_min(gids, t.array.astype(jnp.int64), valid,
-                                  num_groups, jnp.int64(2**62))
+                                  num_groups, jnp.int64(2**62),
+                                  small_limit=self._small)
             return RelColumn(r, t.dtype, t.dictionary)
         if agg.kind == "max":
             r = kernels.group_max(gids, t.array.astype(jnp.int64), valid,
-                                  num_groups, jnp.int64(-(2**62)))
+                                  num_groups, jnp.int64(-(2**62)),
+                                  small_limit=self._small)
             return RelColumn(r, t.dtype, t.dictionary)
         raise ValueError(agg.kind)
 

@@ -135,8 +135,17 @@ class Binder:
                     continue
                 bt = next(b for b in tables if b.alias == build_alias)
                 jt = "left" if bt.join_type == "left" else "inner"
+                # single-match (no expansion) only when the build key is
+                # provably unique: a registered PK index, or the referenced
+                # side of a foreign key.  Otherwise use the general
+                # expansion join (reference chain-walking GatherResult).
+                btable = self.catalog.table(bt.name)
+                unique = build_key in btable.pk_indexes or (
+                    self.catalog.foreign_keys.get(probe_key)
+                    == (bt.name, build_key))
                 plan = P.HashJoin(plan, rels[build_alias], [probe_key],
-                                  [build_key], jt)
+                                  [build_key], jt,
+                                  single_match=unique or jt == "left")
                 joined.add(build_alias)
                 edges.remove(e)
                 progress = True

@@ -45,14 +45,6 @@ def test_and_across_columns():
     np.testing.assert_array_equal(np.asarray(bm.expand(words, n)), want)
 
 
-def test_decode_rowids():
-    codes = np.array([1, 0, 1, 1, 0, 1], dtype=np.int32)
-    idx = _mk(codes, 2)
-    rows, count = bm.decode_rowids(idx.query_eq(1), 6, 8)
-    assert int(count) == 4
-    assert list(np.asarray(rows)[:4]) == [0, 2, 3, 5]
-
-
 def test_padding_rows_excluded():
     codes = np.array([1, 1, 1, 0], dtype=np.int32)
     idx = CubitIndex.build("t", codes, capacity=64, num_rows=4, n_bins=2)

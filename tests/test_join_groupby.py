@@ -79,12 +79,11 @@ def test_group_by_sort():
         assert seen.setdefault(key, g) == g
     # aggregate through the ids and cross-check one group
     vals = rng.integers(0, 1000, size=300, dtype=np.int64)
-    res = groupby.aggregate_dense(
-        gk.group_ids, gk.valid, 300, {"v": jnp.asarray(vals)},
-        [("sum", "v"), ("count", None)])
-    hi, lo = res["sum:v"]
+    hi, lo = kernels.group_sum_exact(
+        gk.group_ids, jnp.asarray(vals), gk.valid, 300)
+    cnt = kernels.group_count(gk.group_ids, gk.valid, 300)
     some_key = next(iter(want_groups))
     sel = (k1 == some_key[0]) & (k2 == some_key[1]) & valid
     gid = seen[some_key]
     assert kernels.combine_hi_lo(hi[gid], lo[gid]) == int(vals[sel].sum())
-    assert int(np.asarray(res["count:None"])[gid]) == int(sel.sum())
+    assert int(np.asarray(cnt)[gid]) == int(sel.sum())

@@ -233,9 +233,12 @@ class Executor:
                                     for c in rel.columns.values()]
                 meta_box["capacity"] = rel.capacity
                 out = tuple(c.array for c in rel.columns.values())
+                # per-value NULL masks ride along (None = all-valid column;
+                # None is an empty pytree so the jit output stays stable)
+                valids = tuple(c.valid for c in rel.columns.values())
                 checks = tuple(c for _, c in ctx.checks)
                 meta_box["check_names"] = [n for n, _ in ctx.checks]
-                return out, rel.mask, checks
+                return out, valids, rel.mask, checks
 
             jitted = jax.jit(traced)
             entry = (jitted, meta_box)
@@ -244,10 +247,10 @@ class Executor:
         return jitted, arrays, meta_box
 
     def _run_compiled(self, jitted, arrays, meta_box):
-        out, mask, checks = jitted(arrays)
+        out, valids, mask, checks = jitted(arrays)
         from ..plan.physical import RelColumn, Relation
-        cols = {n: RelColumn(a, dt, d) for n, a, (dt, d) in
-                zip(meta_box["names"], out, meta_box["meta"])}
+        cols = {n: RelColumn(a, dt, d, valid=v) for n, a, v, (dt, d) in
+                zip(meta_box["names"], out, valids, meta_box["meta"])}
         rel = Relation(cols, mask, meta_box["capacity"])
         # runtime assertions (capacity overflow guards) stay device scalars;
         # they are verified when the result is materialized — the only point

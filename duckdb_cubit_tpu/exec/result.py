@@ -24,6 +24,8 @@ def format_decimal(v: int, scale: int) -> str:
 
 
 def format_value(v, dtype, dictionary=None) -> str:
+    if v is None:
+        return "NULL"
     if dtype.id == TypeId.DECIMAL:
         return format_decimal(int(v), dtype.scale)
     if dtype.id == TypeId.DATE:
@@ -57,6 +59,9 @@ def materialize(rel: Relation, columns: list[str] | None = None):
     for n in names:
         c = rel.columns[n]
         arr = np.asarray(c.array)[mask]
+        if c.valid is not None:
+            valid = np.asarray(c.valid)[mask]
+            arr = [None if not v else a for a, v in zip(arr.tolist(), valid)]
         host[n] = (arr, c.dtype, c.dictionary)
     n_rows = int(mask.sum())
     rows = []

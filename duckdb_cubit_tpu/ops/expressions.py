@@ -40,9 +40,13 @@ class ColMeta:
 class EvalContext:
     """A batch: named device arrays + trace-time column metadata."""
 
-    def __init__(self, arrays: dict[str, jnp.ndarray], meta: dict[str, ColMeta]):
+    def __init__(self, arrays: dict[str, jnp.ndarray], meta: dict[str, ColMeta],
+                 valids: dict[str, Any] | None = None):
         self.arrays = arrays
         self.meta = meta
+        # per-column NULL validity (None = all valid) — the analog of the
+        # reference's per-value ValidityMask (validity_mask.hpp:50)
+        self.valids = valids or {}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +54,24 @@ class Typed:
     array: Any  # jnp array
     dtype: DataType
     dictionary: np.ndarray | None = None
+    # bool array marking non-NULL slots; None = all valid
+    valid: Any = None
+
+
+def and_valid(a, b):
+    """Combine two validity arrays (None = all valid)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def as_mask(t: Typed):
+    """Boolean expression -> WHERE-mask semantics: NULL counts as false."""
+    if t.valid is None:
+        return t.array
+    return t.array & t.valid
 
 
 class Expr:
@@ -106,7 +128,8 @@ class Col(Expr):
 
     def eval(self, ctx):
         m = ctx.meta[self.name]
-        return Typed(ctx.arrays[self.name], m.dtype, m.dictionary)
+        return Typed(ctx.arrays[self.name], m.dtype, m.dictionary,
+                     ctx.valids.get(self.name))
 
 
 @dataclasses.dataclass(eq=False)
@@ -175,11 +198,12 @@ class Arith(Expr):
 
     def eval(self, ctx):
         lt, rt = self.left.eval(ctx), self.right.eval(ctx)
+        v = and_valid(lt.valid, rt.valid)
         if self.op == "/" or TypeId.DOUBLE in (lt.dtype.id, rt.dtype.id):
             la, ra = _as_double(lt), _as_double(rt)
             out = {"+": lambda: la + ra, "-": lambda: la - ra,
                    "*": lambda: la * ra, "/": lambda: la / ra}[self.op]()
-            return Typed(out, DOUBLE, None)
+            return Typed(out, DOUBLE, None, v)
         assert lt.dtype.id in _DECIMALISH and rt.dtype.id in _DECIMALISH
         ls = lt.dtype.scale if lt.dtype.id == TypeId.DECIMAL else 0
         rs = rt.dtype.scale if rt.dtype.id == TypeId.DECIMAL else 0
@@ -199,7 +223,7 @@ class Arith(Expr):
             out = la + ra if self.op == "+" else la - ra
         dt = DataType(TypeId.DECIMAL, out_scale) if out_scale else (
             DATE if DATE in (lt.dtype, rt.dtype) and self.op in "+-" else INT64)
-        return Typed(out, dt, None)
+        return Typed(out, dt, None, v)
 
 
 # -------------------------------------------------------------- comparison
@@ -226,20 +250,22 @@ class Compare(Expr):
 
     def eval(self, ctx):
         lt, rt = self.left.eval(ctx), self.right.eval(ctx)
+        v = and_valid(lt.valid, rt.valid)
         # string column vs string literal -> code comparison
         if lt.dtype.id == TypeId.VARCHAR and isinstance(rt.array, str):
-            return Typed(self._varchar_cmp(lt, rt.array), BOOL, None)
+            return Typed(self._varchar_cmp(lt, rt.array), BOOL, None, v)
         if rt.dtype.id == TypeId.VARCHAR and isinstance(lt.array, str):
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}
             return Typed(
                 Compare(flip[self.op], self.right, self.left)._varchar_cmp(rt, lt.array),
-                BOOL, None)
+                BOOL, None, v)
         if lt.dtype.id == TypeId.CHAR1 and isinstance(rt.array, str):
             code = np.uint8(ord(rt.array))
-            return Typed(self._num_cmp(lt.array, code), BOOL, None)
+            return Typed(self._num_cmp(lt.array, code), BOOL, None, v)
         la, ra = lt, rt
         if TypeId.DOUBLE in (lt.dtype.id, rt.dtype.id):
-            return Typed(self._num_cmp(_as_double(lt), _as_double(rt)), BOOL, None)
+            return Typed(self._num_cmp(_as_double(lt), _as_double(rt)), BOOL,
+                         None, v)
         ls = lt.dtype.scale if lt.dtype.id == TypeId.DECIMAL else 0
         rs = rt.dtype.scale if rt.dtype.id == TypeId.DECIMAL else 0
         s = max(ls, rs)
@@ -247,7 +273,7 @@ class Compare(Expr):
             la = _rescale(lt, s)
         if rs != s:
             ra = _rescale(rt, s)
-        return Typed(self._num_cmp(la.array, ra.array), BOOL, None)
+        return Typed(self._num_cmp(la.array, ra.array), BOOL, None, v)
 
     def _num_cmp(self, la, ra):
         return {"==": lambda: la == ra, "!=": lambda: la != ra,
@@ -279,14 +305,32 @@ class Compare(Expr):
 
 @dataclasses.dataclass(eq=False)
 class BoolOp(Expr):
+    """AND/OR with SQL three-valued (Kleene) logic when NULLs are present.
+
+    Values at unknown slots are forced to false so garbage in padding can
+    never leak through an OR (reference analog: ValidityMask-aware
+    boolean_operators.cpp).
+    """
     op: str
     left: Expr
     right: Expr
 
     def eval(self, ctx):
-        la = self.left.eval(ctx).array
-        ra = self.right.eval(ctx).array
-        return Typed(la & ra if self.op == "and" else la | ra, BOOL, None)
+        lt, rt = self.left.eval(ctx), self.right.eval(ctx)
+        if lt.valid is None and rt.valid is None:
+            la, ra = lt.array, rt.array
+            return Typed(la & ra if self.op == "and" else la | ra, BOOL, None)
+        lk = lt.valid if lt.valid is not None else jnp.ones_like(lt.array)
+        rk = rt.valid if rt.valid is not None else jnp.ones_like(rt.array)
+        lv = lt.array & lk
+        rv = rt.array & rk
+        if self.op == "and":
+            value = lv & rv
+            known = (lk & rk) | (lk & ~lv) | (rk & ~rv)
+        else:
+            value = lv | rv
+            known = (lk & rk) | lv | rv
+        return Typed(value, BOOL, None, known)
 
 
 @dataclasses.dataclass(eq=False)
@@ -294,7 +338,10 @@ class NotOp(Expr):
     child: Expr
 
     def eval(self, ctx):
-        return Typed(~self.child.eval(ctx).array, BOOL, None)
+        t = self.child.eval(ctx)
+        if t.valid is None:
+            return Typed(~t.array, BOOL, None)
+        return Typed(~t.array & t.valid, BOOL, None, t.valid)
 
 
 def _code_truth_table(col: Typed, match_fn) -> jnp.ndarray:
@@ -315,12 +362,13 @@ class InList(Expr):
         if ct.dtype.id == TypeId.VARCHAR:
             targets = set(v.encode() if isinstance(v, str) else v for v in self.values)
             return Typed(
-                _code_truth_table(ct, lambda d: np.isin(d, list(targets))), BOOL, None)
+                _code_truth_table(ct, lambda d: np.isin(d, list(targets))),
+                BOOL, None, ct.valid)
         arr = ct.array
         out = jnp.zeros(arr.shape, jnp.bool_)
         for v in self.values:
             out = out | (arr == v)
-        return Typed(out, BOOL, None)
+        return Typed(out, BOOL, None, ct.valid)
 
 
 def like_to_regex(pattern: str) -> str:
@@ -350,7 +398,7 @@ class Like(Expr):
             return np.fromiter((rx.match(s) is not None for s in d),
                                count=len(d), dtype=np.bool_)
 
-        return Typed(_code_truth_table(ct, match), BOOL, None)
+        return Typed(_code_truth_table(ct, match), BOOL, None, ct.valid)
 
 
 @dataclasses.dataclass(eq=False)
@@ -373,7 +421,7 @@ class Substr(Expr):
                          for s in ct.dictionary])
         new_dict, remap = np.unique(subs, return_inverse=True)
         codes = jnp.asarray(remap.astype(np.int32))[ct.array]
-        return Typed(codes, VARCHAR, new_dict)
+        return Typed(codes, VARCHAR, new_dict, ct.valid)
 
 
 @dataclasses.dataclass(eq=False)
@@ -396,7 +444,7 @@ class ExtractYear(Expr):
         mp = jnp.floor_divide(5 * doy + 2, 153)
         m = mp + jnp.where(mp < 10, 3, -9)
         y = y + (m <= 2)
-        return Typed(y.astype(jnp.int64), INT64, None)
+        return Typed(y.astype(jnp.int64), INT64, None, ct.valid)
 
 
 @dataclasses.dataclass(eq=False)
@@ -404,7 +452,8 @@ class CastDouble(Expr):
     child: Expr
 
     def eval(self, ctx):
-        return Typed(_as_double(self.child.eval(ctx)), DOUBLE, None)
+        t = self.child.eval(ctx)
+        return Typed(_as_double(t), DOUBLE, None, t.valid)
 
 
 @dataclasses.dataclass(eq=False)
@@ -415,14 +464,21 @@ class Case(Expr):
     other: Expr
 
     def eval(self, ctx):
-        c = self.cond.eval(ctx).array
+        ct = self.cond.eval(ctx)
+        c = as_mask(ct)  # NULL condition selects the ELSE branch (SQL)
         t, o = self.then.eval(ctx), self.other.eval(ctx)
+        v = None
+        if t.valid is not None or o.valid is not None:
+            tv = t.valid if t.valid is not None else jnp.ones_like(c)
+            ov = o.valid if o.valid is not None else jnp.ones_like(c)
+            v = jnp.where(c, tv, ov)
         if TypeId.DOUBLE in (t.dtype.id, o.dtype.id):
-            return Typed(jnp.where(c, _as_double(t), _as_double(o)), DOUBLE, None)
+            return Typed(jnp.where(c, _as_double(t), _as_double(o)), DOUBLE,
+                         None, v)
         ts = t.dtype.scale if t.dtype.id == TypeId.DECIMAL else 0
         os_ = o.dtype.scale if o.dtype.id == TypeId.DECIMAL else 0
         s = max(ts, os_)
         ta = _rescale(t, s).array if ts != s else t.array
         oa = _rescale(o, s).array if os_ != s else o.array
         dt = DataType(TypeId.DECIMAL, s) if s else t.dtype
-        return Typed(jnp.where(c, ta, oa), dt, None)
+        return Typed(jnp.where(c, ta, oa), dt, None, v)

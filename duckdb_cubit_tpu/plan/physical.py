@@ -27,7 +27,8 @@ from ..ops import bitmap as bm
 from ..ops import join as join_ops
 from ..ops import groupby as groupby_ops
 from ..ops import kernels
-from ..ops.expressions import ColMeta, EvalContext, Expr, Typed
+from ..ops.expressions import (ColMeta, EvalContext, Expr, Typed, and_valid,
+                               as_mask)
 from ..storage.table import Column, Table, pad_count
 from ..types import (BOOL, CHAR1, DATE, DOUBLE, INT32, INT64, VARCHAR,
                      DataType, TypeId)
@@ -39,6 +40,10 @@ class RelColumn:
     dtype: DataType
     dictionary: np.ndarray | None = None
     domain: np.ndarray | None = None  # sorted distinct values (CHAR1/small int)
+    # per-value NULL mask (None = all valid) — analog of the reference's
+    # ValidityMask (validity_mask.hpp:50); produced by outer joins and
+    # NULL-yielding aggregates, consumed by expressions and aggregates
+    valid: jnp.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -51,7 +56,9 @@ class Relation:
     def eval_ctx(self) -> EvalContext:
         arrays = {n: c.array for n, c in self.columns.items()}
         meta = {n: ColMeta(c.dtype, c.dictionary) for n, c in self.columns.items()}
-        return EvalContext(arrays, meta)
+        valids = {n: c.valid for n, c in self.columns.items()
+                  if c.valid is not None}
+        return EvalContext(arrays, meta, valids)
 
     def count(self) -> int:
         return int(jnp.sum(self.mask))
@@ -67,7 +74,9 @@ class Relation:
         safe = jnp.clip(indices, 0, self.capacity - 1)
         cols = {
             n: RelColumn(jnp.take(c.array, safe, axis=0), c.dtype,
-                         c.dictionary, c.domain)
+                         c.dictionary, c.domain,
+                         None if c.valid is None
+                         else jnp.take(c.valid, safe, axis=0))
             for n, c in self.columns.items()
         }
         return Relation(cols, valid, capacity)
@@ -313,7 +322,7 @@ class TableScan(PhysicalOperator):
         if words is not None:
             mask = mask & bm.expand(words, rel.capacity)
         for f in self.filters:
-            mask = mask & rel.evaluate(f).array
+            mask = mask & as_mask(rel.evaluate(f))
         rel = rel.with_mask(mask)
         if self._decode_cap is not None:
             # index-scan path: decode row-ids, probe only projected columns
@@ -362,7 +371,7 @@ class Filter(PhysicalOperator):
 
     def _execute(self, ctx):
         rel = self.children[0].execute(ctx)
-        return rel.with_mask(rel.mask & rel.evaluate(self.expr).array)
+        return rel.with_mask(rel.mask & as_mask(rel.evaluate(self.expr)))
 
     def _self_signature(self):
         return f"filter[{self.expr!r}]"
@@ -385,7 +394,8 @@ class Project(PhysicalOperator):
                 cols[name] = rel.columns[e]
             else:
                 t = rel.evaluate(e)
-                cols[name] = RelColumn(t.array, t.dtype, t.dictionary)
+                cols[name] = RelColumn(t.array, t.dtype, t.dictionary,
+                                       valid=t.valid)
         return Relation(cols, rel.mask, rel.capacity)
 
     def _self_signature(self):
@@ -408,7 +418,7 @@ class HashJoin(PhysicalOperator):
                  probe_keys: Sequence[str], build_keys: Sequence[str],
                  join_type: str = "inner", single_match: bool = True,
                  out_capacity: int | None = None,
-                 build_prefix: str = ""):
+                 build_prefix: str = "", found_column: str | None = None):
         super().__init__([probe, build])
         self.probe_keys = list(probe_keys)
         self.build_keys = list(build_keys)
@@ -416,6 +426,9 @@ class HashJoin(PhysicalOperator):
         self.single_match = single_match
         self.out_capacity = out_capacity
         self.build_prefix = build_prefix
+        # left joins: expose the match flag as a named BOOL column (used by
+        # decorrelated EXISTS rewrites)
+        self.found_column = found_column
 
     def is_pipeline_breaker(self):
         return True
@@ -566,16 +579,23 @@ class HashJoin(PhysicalOperator):
 
     def _gather_single(self, probe_rel, build_rel, build_row, found):
         safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
+        left = self.join_type == "left"
         cols = dict(probe_rel.columns)
         for n, c in build_rel.columns.items():
             out_name = self.build_prefix + n
             if out_name not in cols:
+                v = None if c.valid is None else jnp.take(c.valid, safe, axis=0)
+                if left:
+                    # unmatched probe rows see NULL build values (outer-join
+                    # semantics via per-value validity)
+                    v = found if v is None else (v & found)
                 cols[out_name] = RelColumn(
                     jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary,
-                    c.domain)
-        if self.join_type == "left":
+                    c.domain, v)
+        if left:
             mask = probe_rel.mask
-            cols["__join_found__"] = RelColumn(found, BOOL, None)
+            if self.found_column:
+                cols[self.found_column] = RelColumn(found, BOOL, None)
         else:
             mask = probe_rel.mask & found
         return Relation(cols, mask, probe_rel.capacity)
@@ -614,6 +634,7 @@ class HashJoin(PhysicalOperator):
     def _self_signature(self):
         return (f"hash_join[{self.join_type};{self.probe_keys};{self.build_keys};"
                 f"{self.single_match};{self.out_capacity};{self.build_prefix};"
+                f"fc={self.found_column};"
                 f"pk={getattr(self, '_pk', None)};"
                 f"rpk={getattr(self, '_reverse_pk', None)}]")
 
@@ -788,80 +809,98 @@ class GroupAggregate(PhysicalOperator):
         return out_cols, occupied
 
     def _one_agg(self, agg, evaluated, gids, valid, num_groups, counts):
-        if agg.kind == "count":
-            if agg.expr is None:
-                return RelColumn(counts, INT64, None)
-            # count(expr): non-null count == valid count here (no NULLs yet)
+        if agg.kind == "count" and agg.expr is None:
             return RelColumn(counts, INT64, None)
         t = evaluated[agg.name]
+        # NULL semantics: aggregates skip NULL inputs (count(expr) counts
+        # only non-NULL; sum/min/max/avg over an all-NULL group are NULL) —
+        # the reference's ValidityMask-aware aggregate states
+        avalid = valid if t.valid is None else (valid & t.valid)
+        if t.valid is not None or agg.kind == "count":
+            nonnull = kernels.group_count(gids, avalid, num_groups,
+                                          small_limit=self._small)
+            out_valid = None if t.valid is None else (nonnull > 0)
+        else:
+            nonnull, out_valid = counts, None
+        if agg.kind == "count":
+            return RelColumn(nonnull, INT64, None)
         if agg.kind in ("sum", "avg") and t.dtype.id in (
                 TypeId.DECIMAL, TypeId.INT32, TypeId.INT64):
             hi, lo = kernels.group_sum_exact(
-                gids, t.array.astype(jnp.int64), valid, num_groups,
+                gids, t.array.astype(jnp.int64), avalid, num_groups,
                 small_limit=self._small)
             combined = (hi << jnp.int64(32)) + lo
             if agg.kind == "sum":
                 return RelColumn(combined, DataType(TypeId.DECIMAL, t.dtype.scale)
-                                 if t.dtype.id == TypeId.DECIMAL else INT64, None)
+                                 if t.dtype.id == TypeId.DECIMAL else INT64,
+                                 None, valid=out_valid)
             scale = 10.0 ** t.dtype.scale if t.dtype.id == TypeId.DECIMAL else 1.0
             avg = (hi.astype(jnp.float64) * (2.0**32) + lo.astype(jnp.float64)) \
-                / jnp.maximum(counts, 1).astype(jnp.float64) / scale
-            return RelColumn(avg, DOUBLE, None)
+                / jnp.maximum(nonnull, 1).astype(jnp.float64) / scale
+            return RelColumn(avg, DOUBLE, None, valid=out_valid)
         if agg.kind in ("sum", "avg", "sum_double"):
-            v = jnp.where(valid, t.array.astype(jnp.float64)
+            v = jnp.where(avalid, t.array.astype(jnp.float64)
                           if t.dtype.id != TypeId.DOUBLE else t.array, 0.0)
             if t.dtype.id == TypeId.DECIMAL:
                 v = v / (10.0 ** t.dtype.scale)
             s = jnp.zeros(num_groups, jnp.float64).at[
-                jnp.where(valid, gids, 0)].add(v)
+                jnp.where(avalid, gids, 0)].add(v)
             if agg.kind == "avg":
-                s = s / jnp.maximum(counts, 1).astype(jnp.float64)
-            return RelColumn(s, DOUBLE, None)
+                s = s / jnp.maximum(nonnull, 1).astype(jnp.float64)
+            return RelColumn(s, DOUBLE, None, valid=out_valid)
         if agg.kind == "min":
-            r = kernels.group_min(gids, t.array.astype(jnp.int64), valid,
+            r = kernels.group_min(gids, t.array.astype(jnp.int64), avalid,
                                   num_groups, jnp.int64(2**62),
                                   small_limit=self._small)
-            return RelColumn(r, t.dtype, t.dictionary)
+            return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
         if agg.kind == "max":
-            r = kernels.group_max(gids, t.array.astype(jnp.int64), valid,
+            r = kernels.group_max(gids, t.array.astype(jnp.int64), avalid,
                                   num_groups, jnp.int64(-(2**62)),
                                   small_limit=self._small)
-            return RelColumn(r, t.dtype, t.dictionary)
+            return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
         raise ValueError(agg.kind)
 
     def _ungrouped(self, rel, evaluated):
         out_cols = {}
         for agg in self.aggregates:
-            if agg.kind == "count":
+            if agg.kind == "count" and agg.expr is None:
                 out_cols[agg.name] = RelColumn(
                     jnp.sum(rel.mask.astype(jnp.int64))[None], INT64, None)
                 continue
             t = evaluated[agg.name]
-            if agg.kind == "sum" and t.dtype.id in (TypeId.DECIMAL, TypeId.INT32,
-                                                    TypeId.INT64):
+            amask = rel.mask if t.valid is None else (rel.mask & t.valid)
+            out_valid = None if t.valid is None else jnp.any(amask)[None]
+            if agg.kind == "count":
+                out_cols[agg.name] = RelColumn(
+                    jnp.sum(amask.astype(jnp.int64))[None], INT64, None)
+            elif agg.kind == "sum" and t.dtype.id in (TypeId.DECIMAL,
+                                                      TypeId.INT32,
+                                                      TypeId.INT64):
                 hi, lo = kernels.masked_sum_exact(
-                    t.array.astype(jnp.int64), rel.mask)
+                    t.array.astype(jnp.int64), amask)
                 combined = (hi << jnp.int64(32)) + lo
                 out_cols[agg.name] = RelColumn(
                     combined[None], DataType(TypeId.DECIMAL, t.dtype.scale)
-                    if t.dtype.id == TypeId.DECIMAL else INT64, None)
+                    if t.dtype.id == TypeId.DECIMAL else INT64, None,
+                    valid=out_valid)
             elif agg.kind in ("sum", "sum_double", "avg"):
-                v = jnp.where(rel.mask, t.array.astype(jnp.float64), 0.0)
+                v = jnp.where(amask, t.array.astype(jnp.float64), 0.0)
                 if t.dtype.id == TypeId.DECIMAL:
                     v = v / (10.0 ** t.dtype.scale)
                 s = jnp.sum(v)
                 if agg.kind == "avg":
-                    s = s / jnp.maximum(jnp.sum(rel.mask), 1)
-                out_cols[agg.name] = RelColumn(s[None], DOUBLE, None)
+                    s = s / jnp.maximum(jnp.sum(amask), 1)
+                out_cols[agg.name] = RelColumn(s[None], DOUBLE, None,
+                                               valid=out_valid)
             elif agg.kind == "min":
-                v = jnp.where(rel.mask, t.array.astype(jnp.int64), jnp.int64(2**62))
+                v = jnp.where(amask, t.array.astype(jnp.int64), jnp.int64(2**62))
                 out_cols[agg.name] = RelColumn(jnp.min(v)[None], t.dtype,
-                                               t.dictionary)
+                                               t.dictionary, valid=out_valid)
             elif agg.kind == "max":
-                v = jnp.where(rel.mask, t.array.astype(jnp.int64),
+                v = jnp.where(amask, t.array.astype(jnp.int64),
                               jnp.int64(-(2**62)))
                 out_cols[agg.name] = RelColumn(jnp.max(v)[None], t.dtype,
-                                               t.dictionary)
+                                               t.dictionary, valid=out_valid)
             else:
                 raise ValueError(agg.kind)
         # sum/avg/min/max over an empty input are NULL; the golden answers
@@ -910,11 +949,17 @@ class OrderBy(PhysicalOperator):
             if c.dtype.id == TypeId.DOUBLE:
                 a = c.array
                 key = jnp.where(rel.mask, jnp.where(desc, -a, a), jnp.inf)
+                if c.valid is not None:   # NULLS LAST, before invalid rows
+                    key = jnp.where(rel.mask & ~c.valid, jnp.float64(1e308),
+                                    key)
                 operands.append(key)
             else:
                 a = c.array.astype(jnp.int64)
                 key = jnp.where(desc, -a, a)
                 key = jnp.where(rel.mask, key, jnp.int64(2**62))
+                if c.valid is not None:
+                    key = jnp.where(rel.mask & ~c.valid, jnp.int64(2**62 - 1),
+                                    key)
                 operands.append(key)
         rows = jnp.arange(n, dtype=jnp.int32)
         out = jax.lax.sort(tuple(operands) + (rows,), num_keys=len(operands))
@@ -945,3 +990,122 @@ class Limit(PhysicalOperator):
 
     def _self_signature(self):
         return f"limit[{self.limit}]"
+
+
+class BroadcastScalar(PhysicalOperator):
+    """Attach a 1-row subplan's columns to every row of the child.
+
+    The device-side uncorrelated-scalar-subquery operator: where the
+    reference's plans nest a scalar subquery result into expressions
+    (src/planner subquery flattening into a cross product with a one-row
+    aggregate), this broadcasts the value in the SAME compiled program — no
+    host round trip between the sub-aggregate and the consuming filter.
+    names: {output column name: subplan column name}.
+    """
+
+    name = "broadcast_scalar"
+
+    def __init__(self, child: PhysicalOperator, sub: PhysicalOperator,
+                 names: dict[str, str]):
+        super().__init__([child, sub])
+        self.names = dict(names)
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def blocking_children(self):
+        return [self.children[1]]
+
+    def _execute(self, ctx):
+        rel = self.children[0].execute(ctx)
+        sub = self.children[1].execute(ctx)
+        cols = dict(rel.columns)
+        # the subplan's single row may itself be NULL / absent (empty input)
+        present = sub.mask[0] if sub.capacity == 1 else sub.mask[:1][0]
+        for out_name, sub_name in self.names.items():
+            c = sub.columns[sub_name]
+            arr = jnp.broadcast_to(c.array[0], (rel.capacity,))
+            valid = jnp.broadcast_to(
+                present if c.valid is None else (present & c.valid[0]),
+                (rel.capacity,))
+            cols[out_name] = RelColumn(arr, c.dtype, c.dictionary, c.domain,
+                                       valid)
+        return Relation(cols, rel.mask, rel.capacity)
+
+    def _self_signature(self):
+        return f"broadcast_scalar[{sorted(self.names.items())}]"
+
+    def describe(self):
+        return f"broadcast_scalar({list(self.names)})"
+
+
+@dataclasses.dataclass
+class WindowFunc:
+    kind: str                 # row_number | rank | sum | total
+    expr: Expr | None         # value expression (sum/total)
+    name: str                 # output column
+
+
+class Window(PhysicalOperator):
+    """Window functions over partitions (analog of PhysicalWindow,
+    reference physical_window.cpp; kernels in ops/window.py replace the
+    segment trees with sorted segmented prefix scans)."""
+
+    name = "window"
+
+    def __init__(self, child: PhysicalOperator,
+                 partition_by: Sequence[str],
+                 order_by: Sequence[tuple[str, bool]],
+                 functions: Sequence[WindowFunc]):
+        super().__init__([child])
+        self.partition_by = list(partition_by)
+        self.order_by = list(order_by)
+        self.functions = list(functions)
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def _key_arrays(self, rel):
+        parts = tuple(rel.columns[k].array.astype(jnp.int64)
+                      for k in self.partition_by)
+        orders = []
+        for k, desc in self.order_by:
+            a = rel.columns[k].array.astype(jnp.int64)
+            orders.append(-a if desc else a)
+        return parts, tuple(orders)
+
+    def _execute(self, ctx):
+        from ..ops import window as W
+
+        rel = self.children[0].execute(ctx)
+        parts, orders = self._key_arrays(rel)
+        cols = dict(rel.columns)
+        for f in self.functions:
+            if f.kind == "row_number":
+                out = W.row_number(parts, orders, rel.mask)
+                cols[f.name] = RelColumn(out, INT64, None)
+            elif f.kind == "rank":
+                out = W.rank(parts, orders, rel.mask)
+                cols[f.name] = RelColumn(out, INT64, None)
+            elif f.kind in ("sum", "total"):
+                t = rel.evaluate(f.expr)
+                vmask = rel.mask if t.valid is None else (rel.mask & t.valid)
+                if f.kind == "sum" and self.order_by:
+                    out = W.running_sum(parts, orders,
+                                        t.array.astype(jnp.int64), vmask)
+                else:
+                    out = W.partition_total(parts, t.array.astype(jnp.int64),
+                                            vmask)
+                dt = t.dtype if t.dtype.id == TypeId.DECIMAL else INT64
+                cols[f.name] = RelColumn(out, dt, None)
+            else:
+                raise ValueError(f.kind)
+        return Relation(cols, rel.mask, rel.capacity)
+
+    def _self_signature(self):
+        fs = ";".join(f"{f.kind}:{f.name}:{f.expr!r}" for f in self.functions)
+        return f"window[{self.partition_by};{self.order_by};{fs}]"
+
+    def describe(self):
+        return (f"window(partition={self.partition_by}, order={self.order_by},"
+                f" funcs={[f.kind for f in self.functions]})")

@@ -399,7 +399,8 @@ def q13():
     agg1 = GroupAggregate(orders, ["o_custkey"],
                           [Aggregate("count", None, "cnt")])
     cust = TableScan("customer", projection=["c_custkey"])
-    j = HashJoin(cust, agg1, ["c_custkey"], ["o_custkey"], "left")
+    j = HashJoin(cust, agg1, ["c_custkey"], ["o_custkey"], "left",
+                 found_column="__join_found__")
     proj = Project(j, {
         "c_count": Case(Col("__join_found__"), Col("cnt"), Lit(0))})
     agg2 = GroupAggregate(proj, ["c_count"],
@@ -510,7 +511,8 @@ def q20():
     agg = GroupAggregate(li94, ["l_partkey", "l_suppkey"],
                          [Aggregate("sum", col("l_quantity"), "sq")])
     j = HashJoin(ps_f, agg, ["ps_partkey", "ps_suppkey"],
-                 ["l_partkey", "l_suppkey"], "left")
+                 ["l_partkey", "l_suppkey"], "left",
+                 found_column="__join_found__")
     f = Filter(j, Col("__join_found__")
                & ((col("ps_availqty") * Lit(200)) > Col("sq")))
     nation_f = TableScan("nation", filters=[col("n_name") == "CANADA"],

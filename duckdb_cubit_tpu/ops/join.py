@@ -127,26 +127,32 @@ def probe_single(bs: BuildSide, probe_keys, probe_valid):
     return build_row, found
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity",))
+@functools.partial(jax.jit, static_argnames=("out_capacity", "left"))
 def expand_matches(starts, counts, sorted_rows, entry, probe_valid,
-                   out_capacity: int):
-    """General inner-join expansion with variable match counts.
+                   out_capacity: int, left: bool = False):
+    """General join expansion with variable match counts.
 
     -> (probe_row_idx[out_capacity], build_row_idx[out_capacity], out_count)
     Rows beyond out_count are padding (probe_row_idx == -1).
+    With `left=True` every unmatched valid probe row still emits one output
+    row with build_row_idx == -1 (LEFT OUTER semantics; callers turn the -1
+    into NULL build columns via validity masks).
     """
     found = (entry >= 0) & probe_valid
     safe = jnp.maximum(entry, 0)
     cnt = jnp.where(found, counts[safe], 0)
+    if left:
+        cnt = jnp.where(probe_valid & ~found, 1, cnt)
     offs = jnp.cumsum(cnt) - cnt  # exclusive prefix
     total = jnp.sum(cnt)
     n = entry.shape[0]
     probe_rows = jnp.arange(n, dtype=jnp.int32)
     out_probe = jnp.full(out_capacity, -1, jnp.int32)
+    active = cnt > 0
     # scatter run starts, then segment-relative offsets via cummax trick
-    first_pos = jnp.where(found & (cnt > 0), offs, out_capacity)
+    first_pos = jnp.where(active, offs, out_capacity)
     out_probe = out_probe.at[first_pos].set(
-        jnp.where(found, probe_rows, -1), mode="drop")
+        jnp.where(active, probe_rows, -1), mode="drop")
     # fill runs: forward-fill the last set value
     filled = jax.lax.associative_scan(
         lambda a, b: jnp.where(b < 0, a, b), out_probe)
@@ -158,8 +164,10 @@ def expand_matches(starts, counts, sorted_rows, entry, probe_valid,
     run_start_filled = jax.lax.associative_scan(jnp.maximum, run_start_pos)
     within = jnp.arange(out_capacity, dtype=jnp.int32) - run_start_filled
     safe_probe = jnp.maximum(out_probe, 0)
-    bstart = starts[jnp.maximum(entry[safe_probe], 0)]
-    out_build = jnp.where(valid_out, sorted_rows[
+    row_entry = entry[safe_probe]
+    bstart = starts[jnp.maximum(row_entry, 0)]
+    build_ok = valid_out if not left else (valid_out & (row_entry >= 0))
+    out_build = jnp.where(build_ok, sorted_rows[
         jnp.minimum(bstart + within, sorted_rows.shape[0] - 1)], -1)
     return out_probe, out_build, total
 

@@ -172,6 +172,9 @@ def static_base_table(op: PhysicalOperator) -> str | None:
     if isinstance(op, HashJoin):
         if op.join_type in ("semi", "anti") or op.single_match:
             return static_base_table(op.children[0])
+    if isinstance(op, (MarkJoin, BroadcastScalar, Window)):
+        # mask-preserving: output rows stay aligned to the probe/child rows
+        return static_base_table(op.children[0])
     return None
 
 
@@ -378,17 +381,24 @@ class Filter(PhysicalOperator):
 
 
 class Project(PhysicalOperator):
-    """Projection: computed columns (analog of PhysicalProjection)."""
+    """Projection: computed columns (analog of PhysicalProjection).
+
+    `keep_input=True` keeps every input column and adds/overwrites the
+    computed ones (used by the binder to materialize group-key expressions
+    without enumerating the pass-through set).
+    """
 
     name = "project"
 
-    def __init__(self, child: PhysicalOperator, exprs: dict[str, Expr | str]):
+    def __init__(self, child: PhysicalOperator, exprs: dict[str, Expr | str],
+                 keep_input: bool = False):
         super().__init__([child])
         self.exprs = exprs
+        self.keep_input = keep_input
 
     def _execute(self, ctx):
         rel = self.children[0].execute(ctx)
-        cols = {}
+        cols = dict(rel.columns) if self.keep_input else {}
         for name, e in self.exprs.items():
             if isinstance(e, str):
                 cols[name] = rel.columns[e]
@@ -399,7 +409,45 @@ class Project(PhysicalOperator):
         return Relation(cols, rel.mask, rel.capacity)
 
     def _self_signature(self):
-        return f"project[{ {n: repr(e) for n, e in self.exprs.items()} }]"
+        return (f"project[{ {n: repr(e) for n, e in self.exprs.items()} };"
+                f"keep={self.keep_input}]")
+
+
+def _combine_keys(ctx, rel: Relation, names: list[str]):
+    """Combine key columns into one int64 hash key.
+
+    The 2-column case packs exactly (collision-free) and attaches a
+    runtime range check for the low word.  3+ columns hash-combine, and
+    EVERY probe path re-verifies the actual key columns after the match
+    (collision safety), mirroring the reference's full-key
+    ResolvePredicates after the salt prefilter (join_hashtable.cpp:768).
+    """
+    key = rel.columns[names[0]].array.astype(jnp.int64)
+    if len(names) == 2:
+        nxt = rel.columns[names[1]].array.astype(jnp.int64)
+        ok = jnp.all(jnp.where(rel.mask,
+                               (nxt >= 0) & (nxt < jnp.int64(1) << 32),
+                               True))
+        ctx.checks.append((f"join_key_pack_range[{names[1]}]", ok))
+        key = (key << jnp.int64(32)) + nxt
+    elif len(names) > 2:
+        for n in names[1:]:
+            nxt = rel.columns[n].array.astype(jnp.int64)
+            key = kernels.hash64(key).astype(jnp.int64) * jnp.int64(2654435761) ^ nxt
+    return key
+
+
+def _exact_key_eq(probe_rel, build_rel, probe_keys, build_keys,
+                  probe_rows, build_rows, base):
+    """AND `base` with exact equality of every key column pair, gathered
+    through explicit row-index vectors (collision re-check)."""
+    safe_p = jnp.clip(probe_rows, 0, probe_rel.capacity - 1)
+    safe_b = jnp.clip(build_rows, 0, build_rel.capacity - 1)
+    for pk, bk in zip(probe_keys, build_keys):
+        pa = jnp.take(probe_rel.columns[pk].array, safe_p, axis=0)
+        ba = jnp.take(build_rel.columns[bk].array, safe_b, axis=0)
+        base = base & (pa.astype(jnp.int64) == ba.astype(jnp.int64))
+    return base
 
 
 class HashJoin(PhysicalOperator):
@@ -437,38 +485,11 @@ class HashJoin(PhysicalOperator):
         return [self.children[1]]
 
     def _join_keys(self, ctx, rel: Relation, names: list[str]):
-        """Combine key columns into one int64 hash key.
-
-        The 2-column case packs exactly (collision-free) and attaches a
-        runtime range check for the low word.  3+ columns hash-combine, and
-        EVERY probe path re-verifies the actual key columns after the match
-        (collision safety), mirroring the reference's full-key
-        ResolvePredicates after the salt prefilter (join_hashtable.cpp:768).
-        """
-        key = rel.columns[names[0]].array.astype(jnp.int64)
-        if len(names) == 2:
-            nxt = rel.columns[names[1]].array.astype(jnp.int64)
-            ok = jnp.all(jnp.where(rel.mask,
-                                   (nxt >= 0) & (nxt < jnp.int64(1) << 32),
-                                   True))
-            ctx.checks.append((f"join_key_pack_range[{names[1]}]", ok))
-            key = (key << jnp.int64(32)) + nxt
-        elif len(names) > 2:
-            for n in names[1:]:
-                nxt = rel.columns[n].array.astype(jnp.int64)
-                key = kernels.hash64(key).astype(jnp.int64) * jnp.int64(2654435761) ^ nxt
-        return key
+        return _combine_keys(ctx, rel, names)
 
     def _exact_eq(self, probe_rel, build_rel, probe_rows, build_rows, base):
-        """AND `base` with exact equality of every key column pair, gathered
-        through explicit row-index vectors (collision re-check)."""
-        safe_p = jnp.clip(probe_rows, 0, probe_rel.capacity - 1)
-        safe_b = jnp.clip(build_rows, 0, build_rel.capacity - 1)
-        for pk, bk in zip(self.probe_keys, self.build_keys):
-            pa = jnp.take(probe_rel.columns[pk].array, safe_p, axis=0)
-            ba = jnp.take(build_rel.columns[bk].array, safe_b, axis=0)
-            base = base & (pa.astype(jnp.int64) == ba.astype(jnp.int64))
-        return base
+        return _exact_key_eq(probe_rel, build_rel, self.probe_keys,
+                             self.build_keys, probe_rows, build_rows, base)
 
     def prepare(self, ctx: ExecContext):
         super().prepare(ctx)
@@ -601,6 +622,7 @@ class HashJoin(PhysicalOperator):
         return Relation(cols, mask, probe_rel.capacity)
 
     def _expand(self, ctx, probe_rel, build_rel, bs, pkey):
+        left = self.join_type == "left"
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
         cap = self.out_capacity
         if cap is None:
@@ -611,20 +633,34 @@ class HashJoin(PhysicalOperator):
                       if ctx.config is not None else 1.0)
             cap = pad_count(int(probe_rel.capacity * factor))
         out_probe, out_build, total = join_ops.expand_matches(
-            bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
+            bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap,
+            left=left)
         ctx.checks.append((f"join_expansion<= {cap}", total <= cap))
         valid = jnp.arange(cap) < total
+        matched = out_build >= 0
         if len(self.probe_keys) > 2:
-            valid = self._exact_eq(probe_rel, build_rel, out_probe, out_build,
-                                   valid & (out_probe >= 0))
+            eq = self._exact_eq(probe_rel, build_rel, out_probe, out_build,
+                                valid & matched)
+            if left:
+                matched = matched & eq
+            else:
+                valid = eq
         out = probe_rel.gather(out_probe, valid, cap)
         cols = dict(out.columns)
         safe_b = jnp.clip(out_build, 0, build_rel.capacity - 1)
         for n, c in build_rel.columns.items():
             out_name = self.build_prefix + n
             if out_name not in cols:
+                v = None if c.valid is None else jnp.take(c.valid, safe_b,
+                                                          axis=0)
+                if left:
+                    # unmatched probe rows see NULL build values
+                    v = matched if v is None else (v & matched)
                 cols[out_name] = RelColumn(
-                    jnp.take(c.array, safe_b, axis=0), c.dtype, c.dictionary)
+                    jnp.take(c.array, safe_b, axis=0), c.dtype, c.dictionary,
+                    c.domain, v)
+        if left and self.found_column:
+            cols[self.found_column] = RelColumn(matched & valid, BOOL, None)
         return Relation(cols, valid, cap)
 
     def describe(self):
@@ -1109,3 +1145,106 @@ class Window(PhysicalOperator):
     def describe(self):
         return (f"window(partition={self.partition_by}, order={self.order_by},"
                 f" funcs={[f.kind for f in self.functions]})")
+
+
+class MarkJoin(PhysicalOperator):
+    """Subquery mark join: EXISTS/IN with residual correlated predicates.
+
+    The analog of the reference's mark/delim join family for flattened
+    subqueries (reference src/execution/operator/join/physical_delim_join.cpp
+    and the MARK join type in join_hashtable.cpp): the probe relation keeps
+    its shape and each probe row gets a boolean "mark" = whether any build
+    row matches the equi keys AND satisfies the residual predicate.  The
+    residual may reference probe columns (by name) and build columns (under
+    `build_prefix`) — this covers q21-style EXISTS with non-equality
+    correlated conditions.  Output = probe masked by mark (negated=True for
+    NOT EXISTS).
+    """
+
+    name = "mark_join"
+
+    def __init__(self, probe: PhysicalOperator, build: PhysicalOperator,
+                 probe_keys: Sequence[str], build_keys: Sequence[str],
+                 residual: Expr | None = None, negated: bool = False,
+                 build_prefix: str = "__mark_",
+                 out_capacity: int | None = None,
+                 mark_column: str | None = None):
+        super().__init__([probe, build])
+        self.probe_keys = list(probe_keys)
+        self.build_keys = list(build_keys)
+        self.residual = residual
+        self.negated = negated
+        self.build_prefix = build_prefix
+        self.out_capacity = out_capacity
+        # when set, the mark is exposed as a BOOL column instead of being
+        # applied to the mask (for marks consumed under OR / CASE)
+        self.mark_column = mark_column
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def blocking_children(self):
+        return [self.children[1]]
+
+    def _execute(self, ctx):
+        probe_rel = self.children[0].execute(ctx)
+        build_rel = self.children[1].execute(ctx)
+        bkey = _combine_keys(ctx, build_rel, self.build_keys)
+        pkey = _combine_keys(ctx, probe_rel, self.probe_keys)
+        bs = join_ops.build(bkey, build_rel.mask)
+        entry = join_ops.probe(bs, pkey, probe_rel.mask)
+        cap = self.out_capacity
+        if cap is None:
+            factor = (ctx.config.join_expansion_factor
+                      if ctx.config is not None else 1.0)
+            cap = pad_count(int(probe_rel.capacity * factor))
+        out_probe, out_build, total = join_ops.expand_matches(
+            bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
+        ctx.checks.append((f"mark_expansion<= {cap}", total <= cap))
+        ok = (jnp.arange(cap) < total) & (out_probe >= 0)
+        if len(self.probe_keys) > 2:
+            ok = _exact_key_eq(probe_rel, build_rel, self.probe_keys,
+                               self.build_keys, out_probe, out_build, ok)
+        if self.residual is not None:
+            needed = _expr_columns(self.residual)
+            safe_p = jnp.clip(out_probe, 0, probe_rel.capacity - 1)
+            safe_b = jnp.clip(out_build, 0, build_rel.capacity - 1)
+            cols: dict[str, RelColumn] = {}
+            for n, c in probe_rel.columns.items():
+                if n in needed:
+                    cols[n] = RelColumn(
+                        jnp.take(c.array, safe_p, axis=0), c.dtype,
+                        c.dictionary, c.domain,
+                        None if c.valid is None
+                        else jnp.take(c.valid, safe_p, axis=0))
+            for n, c in build_rel.columns.items():
+                out_name = self.build_prefix + n
+                if out_name in needed:
+                    cols[out_name] = RelColumn(
+                        jnp.take(c.array, safe_b, axis=0), c.dtype,
+                        c.dictionary, c.domain,
+                        None if c.valid is None
+                        else jnp.take(c.valid, safe_b, axis=0))
+            combined = Relation(cols, ok, cap)
+            ok = ok & as_mask(combined.evaluate(self.residual))
+        # scatter-any back into probe-row space (one boolean per probe row)
+        tgt = jnp.where(ok, jnp.maximum(out_probe, 0), probe_rel.capacity)
+        mark = jnp.zeros(probe_rel.capacity + 1, jnp.bool_).at[tgt].set(
+            True, mode="drop")[: probe_rel.capacity]
+        if self.negated:
+            mark = ~mark
+        if self.mark_column is not None:
+            cols = dict(probe_rel.columns)
+            cols[self.mark_column] = RelColumn(mark, BOOL, None)
+            return Relation(cols, probe_rel.mask, probe_rel.capacity)
+        return probe_rel.with_mask(probe_rel.mask & mark)
+
+    def _self_signature(self):
+        return (f"mark_join[{self.probe_keys};{self.build_keys};"
+                f"{self.residual!r};neg={self.negated};{self.out_capacity};"
+                f"{self.build_prefix};mc={self.mark_column}]")
+
+    def describe(self):
+        kind = "not_exists" if self.negated else "exists"
+        return (f"mark_join({kind}, {self.probe_keys}={self.build_keys},"
+                f" residual={self.residual is not None})")

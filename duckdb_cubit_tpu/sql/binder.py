@@ -1,14 +1,38 @@
-"""SQL binder: resolve a parsed SELECT against the catalog into a plan.
+"""SQL binder: resolve parsed SELECTs against the catalog into plans.
 
 Analog of the reference's Binder/Planner (reference src/planner/: name
-resolution, type inference, subquery handling, building the logical
-operator tree).  Round-1 scope: single-block SELECTs with joins expressed
-as comma-lists or JOIN..ON, WHERE conjunct classification into pushed
-filters / equi-join edges / post-join filters, grouped aggregation with
-HAVING, ORDER BY/LIMIT, uncorrelated scalar/IN/EXISTS subqueries.
-Correlated subqueries raise a clear NotImplementedError (the 22 TPC-H
-queries run through their dedicated plan builders; the SQL path is for
-ad-hoc queries).
+resolution, type inference, subquery flattening/decorrelation, building the
+logical operator tree).  Round-2 scope covers the full reference TPC-H
+q01..q22 SQL surface:
+
+ - multi-table FROM with comma joins and [LEFT] JOIN .. ON;
+ - derived tables (subqueries in FROM) with optional column aliases,
+   including repeated instances of the same base table (nation n1/n2,
+   lineitem l1/l2/l3) disambiguated by join build prefixes;
+ - WHERE conjunct classification into per-source pushed filters, equi-join
+   edges, and post-join filters, with common-factor extraction out of OR
+   (the reference optimizer's OR factoring, q19's join key inside OR arms);
+ - subquery predicates:
+     * uncorrelated scalar  -> BroadcastScalar + Filter (stays on device,
+       the analog of the reference flattening into a one-row cross product);
+     * correlated scalar    -> grouped-aggregate rewrite + single-match left
+       join + Filter (classic magic-set decorrelation; reference
+       src/planner/subquery flattening into delim joins);
+     * [NOT] EXISTS         -> semi/anti join on the correlated equality
+       keys; residual correlated predicates (q21's l2.l_suppkey <>
+       l1.l_suppkey) go through MarkJoin (expansion + residual + any-reduce);
+     * [NOT] IN (SELECT)    -> semi/anti join (mark join when correlated);
+ - grouped aggregation with aggregate-expression items (sum(x)/sum(y),
+   0.2*avg(x)), GROUP BY aliases/expressions, HAVING (with uncorrelated
+   scalar subqueries), count(DISTINCT col), SELECT DISTINCT;
+ - ORDER BY output names / LIMIT.
+
+Join-order: greedy largest-source-first over the equi-edge graph (the
+reference uses DP join ordering, src/optimizer/join_order/; greedy is enough
+for TPC-H shapes and keeps probe sides wide for the single-match fast path).
+Build sides join as `single_match` only when the build keys cover a unique
+key set (PK or group keys); otherwise the general expansion join runs with a
+capacity bound derived from uniqueness of the probe keys where provable.
 """
 
 from __future__ import annotations
@@ -18,9 +42,13 @@ from typing import Any
 
 from ..ops import expressions as E
 from ..plan import physical as P
-from ..types import DECIMAL, TypeId, date_to_days
+from ..storage.table import pad_count
+from ..types import DataType, TypeId, date_to_days
 from . import ast as A
 from .parser import parse
+
+_CMPS = ("==", "!=", "<", "<=", ">", ">=")
+_AGG_FUNCS = ("sum", "avg", "min", "max", "count")
 
 
 class BindError(ValueError):
@@ -28,366 +56,210 @@ class BindError(ValueError):
 
 
 @dataclasses.dataclass
-class BoundTable:
-    name: str         # catalog table name
-    alias: str        # resolution name
-    columns: list[str]
+class Source:
+    """One FROM entry: a base table or a bound derived table."""
+    alias: str
+    table_name: str | None               # None for derived tables
+    sub: "Bound | None"
+    cols: list[str]
+    size: int
+    unique_sets: list                    # list[frozenset[str]] (logical names)
     join_type: str = "inner"
     join_cond: Any = None
+    prefix: str = ""                     # set during join-tree construction
+    filters: list = dataclasses.field(default_factory=list)  # AST conjuncts
 
 
-class Binder:
-    def __init__(self, catalog, executor=None):
-        self.catalog = catalog
-        self.executor = executor  # for uncorrelated scalar subqueries
-
-    # ------------------------------------------------------------- binding
-    def bind(self, stmt: A.SelectStmt) -> P.PhysicalOperator:
-        tables = self._bind_tables(stmt)
-        col_owner = {}
-        for bt in tables:
-            for c in bt.columns:
-                col_owner.setdefault(c, bt.alias)
-        scope = _Scope(tables, col_owner)
-
-        # classify WHERE conjuncts
-        filters: dict[str, list] = {bt.alias: [] for bt in tables}
-        join_edges: list[tuple[str, str, str, str]] = []
-        post: list = []
-        conjuncts = _split_and(stmt.where) if stmt.where is not None else []
-        for bt in tables:
-            if bt.join_cond is not None:
-                conjuncts.extend(_split_and(bt.join_cond))
-        for conj in conjuncts:
-            tabs = scope.tables_of(conj)
-            edge = self._as_join_edge(conj, scope)
-            if edge is not None:
-                join_edges.append(edge)
-            elif len(tabs) <= 1:
-                target = next(iter(tabs)) if tabs else tables[0].alias
-                filters[target].append(self.to_expr(conj, scope))
-            else:
-                post.append(conj)
-
-        plan = self._build_join_tree(stmt, tables, filters, join_edges, scope)
-        for conj in post:
-            plan = P.Filter(plan, self.to_expr(conj, scope))
-
-        plan = self._bind_agg_or_project(stmt, plan, scope)
-        return plan
-
-    def bind_sql(self, sql: str) -> P.PhysicalOperator:
-        return self.bind(parse(sql))
-
-    # ------------------------------------------------------- FROM handling
-    def _bind_tables(self, stmt) -> list[BoundTable]:
-        out = []
-        for ref in stmt.tables:
-            if ref.subquery is not None:
-                raise BindError("derived tables not supported in SQL path yet")
-            if ref.name not in self.catalog.tables:
-                raise BindError(f"unknown table {ref.name}")
-            t = self.catalog.table(ref.name)
-            out.append(BoundTable(
-                name=ref.name, alias=ref.alias or ref.name,
-                columns=list(t.columns.keys()),
-                join_type=getattr(ref, "join_type", "inner"),
-                join_cond=getattr(ref, "join_cond", None)))
-        return out
-
-    def _as_join_edge(self, conj, scope):
-        if not (isinstance(conj, A.BinaryOp) and conj.op == "=="):
-            return None
-        l, r = conj.left, conj.right
-        if not (isinstance(l, A.ColumnRef) and isinstance(r, A.ColumnRef)):
-            return None
-        lt, rt = scope.owner(l), scope.owner(r)
-        if lt is None or rt is None or lt == rt:
-            return None
-        return (lt, l.name, rt, r.name)
-
-    def _build_join_tree(self, stmt, tables, filters, join_edges, scope):
-        # scans with pushed filters
-        rels: dict[str, P.PhysicalOperator] = {}
-        for bt in tables:
-            rels[bt.alias] = P.TableScan(bt.name, filters=filters[bt.alias])
-        if len(tables) == 1:
-            return rels[tables[0].alias]
-        # greedy: start at the largest table (probe side stays wide),
-        # join connected tables one at a time; PK sides become build sides
-        sizes = {bt.alias: self.catalog.table(bt.name).num_rows
-                 for bt in tables}
-        remaining = set(rels)
-        start = max(remaining, key=lambda a: sizes[a])
-        joined = {start}
-        plan = rels[start]
-        edges = list(join_edges)
-        progress = True
-        while remaining - joined and progress:
-            progress = False
-            for e in list(edges):
-                lt, lc, rt, rc = e
-                if lt in joined and rt not in joined:
-                    probe_key, build_alias, build_key = lc, rt, rc
-                elif rt in joined and lt not in joined:
-                    probe_key, build_alias, build_key = rc, lt, lc
-                else:
-                    continue
-                bt = next(b for b in tables if b.alias == build_alias)
-                jt = "left" if bt.join_type == "left" else "inner"
-                # single-match (no expansion) only when the build key is
-                # provably unique: a registered PK index, or the referenced
-                # side of a foreign key.  Otherwise use the general
-                # expansion join (reference chain-walking GatherResult).
-                btable = self.catalog.table(bt.name)
-                unique = build_key in btable.pk_indexes or (
-                    self.catalog.foreign_keys.get(probe_key)
-                    == (bt.name, build_key))
-                plan = P.HashJoin(plan, rels[build_alias], [probe_key],
-                                  [build_key], jt,
-                                  single_match=unique or jt == "left")
-                joined.add(build_alias)
-                edges.remove(e)
-                progress = True
-        if remaining - joined:
-            raise BindError("disconnected join graph (cross products not "
-                            "supported in the SQL path)")
-        # leftover edges between already-joined tables -> post filters
-        for lt, lc, rt, rc in edges:
-            plan = P.Filter(plan, E.Col(lc) == E.Col(rc))
-        return plan
-
-    # -------------------------------------------- SELECT list / aggregates
-    def _bind_agg_or_project(self, stmt, plan, scope):
-        agg_items = []
-        plain_items = []
-        for item in stmt.items:
-            if _has_aggregate(item.expr):
-                agg_items.append(item)
-            else:
-                plain_items.append(item)
-        if not agg_items and not stmt.group_by:
-            projections = {}
-            for i, item in enumerate(stmt.items):
-                name = item.alias or _default_name(item.expr, i)
-                projections[name] = self.to_expr(item.expr, scope)
-            out = P.Project(plan, projections)
-            return self._order_limit(stmt, out, projections.keys())
-        # grouped aggregate
-        group_cols = []
-        pre_proj = {}
-        for g in stmt.group_by:
-            if isinstance(g, A.ColumnRef):
-                group_cols.append(g.name)
-            else:
-                name = f"__group_{len(group_cols)}__"
-                pre_proj[name] = self.to_expr(g, scope)
-                group_cols.append(name)
-        aggs = []
-        out_names = []
-        post_proj = {}
-        for i, item in enumerate(stmt.items):
-            name = item.alias or _default_name(item.expr, i)
-            out_names.append(name)
-            if _has_aggregate(item.expr):
-                aggs.extend(self._extract_aggs(item.expr, name, scope,
-                                               post_proj))
-            else:
-                if isinstance(item.expr, A.ColumnRef):
-                    post_proj[name] = name if item.expr.name == name \
-                        else item.expr.name
-                else:
-                    pre_name = f"__pre_{i}__"
-                    pre_proj[pre_name] = self.to_expr(item.expr, scope)
-                    post_proj[name] = pre_name
-        if pre_proj:
-            passthrough = {c: c for bt in scope.tables for c in bt.columns
-                           if c in _cols_needed(stmt)}
-            passthrough.update(pre_proj)
-            plan = P.Project(plan, passthrough)
-        plan = P.GroupAggregate(plan, group_cols, aggs)
-        if stmt.having is not None:
-            plan = P.Filter(plan, self.to_expr(stmt.having, scope,
-                                               agg_names=post_proj))
-        plan = P.Project(plan, {n: (post_proj.get(n, n)) for n in out_names})
-        return self._order_limit(stmt, plan, out_names)
-
-    def _extract_aggs(self, expr, name, scope, post_proj):
-        """Bind an aggregate select item; supports a bare agg call or an
-        arithmetic combination of agg calls (bound as separate aggregates
-        plus a post projection)."""
-        if isinstance(expr, A.FuncCall) and expr.name in (
-                "sum", "avg", "min", "max", "count"):
-            agg_expr = None if (expr.star or not expr.args) else \
-                self.to_expr(expr.args[0], scope)
-            post_proj[name] = name
-            return [P.Aggregate(expr.name, agg_expr, name)]
-        raise BindError("complex aggregate expressions need the plan API")
-
-    def _order_limit(self, stmt, plan, names):
-        if stmt.order_by:
-            keys = []
-            for oi in stmt.order_by:
-                if isinstance(oi.expr, A.ColumnRef):
-                    keys.append((oi.expr.name, oi.descending))
-                else:
-                    raise BindError("ORDER BY expressions need aliases")
-            plan = P.OrderBy(plan, keys, limit=stmt.limit)
-        elif stmt.limit is not None:
-            plan = P.Limit(plan, stmt.limit)
-        return plan
-
-    # ------------------------------------------------------- expressions
-    def to_expr(self, node, scope, agg_names=None) -> E.Expr:
-        if isinstance(node, A.ColumnRef):
-            return E.Col(node.name)
-        if isinstance(node, A.Literal):
-            if node.type_hint == "date":
-                return E.date_lit(node.value)
-            if node.type_hint == "string":
-                return E.Lit(node.value)
-            if node.type_hint == "decimal":
-                s = str(node.value)
-                scale = len(s.split(".")[1]) if "." in s else 0
-                return E.dec_lit(node.value, max(scale, 2))
-            return E.Lit(node.value)
-        if isinstance(node, A.IntervalLit):
-            raise BindError("interval outside date arithmetic")
-        if isinstance(node, A.BinaryOp):
-            # constant-fold date +- interval
-            folded = _fold_date_arith(node)
-            if folded is not None:
-                return folded
-            l = self.to_expr(node.left, scope, agg_names)
-            r = self.to_expr(node.right, scope, agg_names)
-            ops = {"+": lambda: l + r, "-": lambda: l - r,
-                   "*": lambda: l * r, "/": lambda: l / r,
-                   "and": lambda: l & r, "or": lambda: l | r,
-                   "==": lambda: l == r, "!=": lambda: l != r,
-                   "<": lambda: l < r, "<=": lambda: l <= r,
-                   ">": lambda: l > r, ">=": lambda: l >= r}
-            return ops[node.op]()
-        if isinstance(node, A.UnaryOp):
-            if node.op == "not":
-                return ~self.to_expr(node.child, scope, agg_names)
-            return E.Lit(0) - self.to_expr(node.child, scope, agg_names)
-        if isinstance(node, A.BetweenExpr):
-            e = self.to_expr(node.expr, scope, agg_names)
-            b = e.between(self.to_expr(node.low, scope, agg_names),
-                          self.to_expr(node.high, scope, agg_names))
-            return ~b if node.negated else b
-        if isinstance(node, A.InExpr):
-            if isinstance(node.values, A.SelectStmt):
-                return self._in_subquery(node, scope)
-            e = self.to_expr(node.expr, scope, agg_names)
-            vals = [v.value for v in node.values]
-            r = e.isin(vals)
-            return ~r if node.negated else r
-        if isinstance(node, A.LikeExpr):
-            e = self.to_expr(node.expr, scope, agg_names)
-            return e.not_like(node.pattern) if node.negated \
-                else e.like(node.pattern)
-        if isinstance(node, A.CaseExpr):
-            default = self.to_expr(node.default, scope, agg_names) \
-                if node.default is not None else E.Lit(0)
-            out = default
-            for cond, res in reversed(node.whens):
-                out = E.Case(self.to_expr(cond, scope, agg_names),
-                             self.to_expr(res, scope, agg_names), out)
-            return out
-        if isinstance(node, A.ExtractExpr):
-            assert node.field == "year", "only extract(year) supported"
-            return self.to_expr(node.child, scope, agg_names).year()
-        if isinstance(node, A.SubstringExpr):
-            return E.Substr(self.to_expr(node.child, scope, agg_names),
-                            int(node.start.value), int(node.length.value))
-        if isinstance(node, A.CastExpr):
-            e = self.to_expr(node.child, scope, agg_names)
-            if node.target in ("double", "float", "real"):
-                return e.cast_double()
-            if node.target == "date":
-                assert isinstance(node.child, A.Literal)
-                return E.date_lit(node.child.value)
-            return e
-        if isinstance(node, A.SubqueryExpr):
-            return self._scalar_subquery(node.query)
-        if isinstance(node, A.ExistsExpr):
-            raise BindError("EXISTS requires the plan API (correlated)")
-        raise BindError(f"cannot bind expression {node!r}")
-
-    def _scalar_subquery(self, query: A.SelectStmt) -> E.Expr:
-        if self.executor is None:
-            raise BindError("scalar subquery needs an executor")
-        sub_plan = self.bind(query)
-        rel = self.executor.execute(sub_plan)
-        from ..exec.result import materialize
-        _, rows, metas = materialize(rel)
-        if len(rows) != 1 or len(rows[0]) != 1:
-            raise BindError("scalar subquery did not return a single value")
-        v = rows[0][0]
-        dt, _ = metas[0]
-        if dt.id == TypeId.DECIMAL:
-            return E.Lit(int(v), dt)
-        if dt.id == TypeId.DOUBLE:
-            return E.Lit(float(v))
-        return E.Lit(int(v))
-
-    def _in_subquery(self, node: A.InExpr, scope) -> E.Expr:
-        raise BindError("IN (SELECT ...) requires the plan API in round 1")
+@dataclasses.dataclass
+class Bound:
+    """A bound SELECT: plan + output schema metadata."""
+    plan: P.PhysicalOperator
+    out_names: list[str]
+    unique_sets: list
+    size: int
 
 
-class _Scope:
-    def __init__(self, tables, col_owner):
-        self.tables = tables
-        self.col_owner = col_owner
-        self.aliases = {bt.alias: bt for bt in tables}
+class Scope:
+    """Name resolution over the FROM sources, chained to an outer scope for
+    correlated-subquery analysis (innermost wins, SQL scoping rules)."""
 
-    def owner(self, ref: A.ColumnRef):
+    def __init__(self, sources: list[Source], outer: "Scope | None" = None):
+        self.sources = list(sources)
+        self.outer = outer
+        self.by_alias = {s.alias: s for s in self.sources}
+        self.by_name: dict[str, list[Source]] = {}
+        for s in self.sources:
+            for c in s.cols:
+                self.by_name.setdefault(c, []).append(s)
+
+    def find_local(self, ref: A.ColumnRef) -> Source | None:
         if ref.table is not None:
-            return ref.table if ref.table in self.aliases else None
-        return self.col_owner.get(ref.name)
+            s = self.by_alias.get(ref.table)
+            if s is None or ref.name not in s.cols:
+                return None
+            return s
+        owners = self.by_name.get(ref.name, [])
+        if len(owners) > 1:
+            raise BindError(f"ambiguous column {ref.name}")
+        return owners[0] if owners else None
 
-    def tables_of(self, node) -> set:
-        out = set()
+    def resolve(self, ref: A.ColumnRef):
+        """-> (source, depth) through the outer chain, or (None, -1)."""
+        sc, depth = self, 0
+        while sc is not None:
+            s = sc.find_local(ref)
+            if s is not None:
+                return s, depth
+            sc, depth = sc.outer, depth + 1
+        return None, -1
 
-        def walk(n):
-            if isinstance(n, A.ColumnRef):
-                o = self.owner(n)
-                if o:
-                    out.add(o)
-            elif dataclasses.is_dataclass(n):
-                for f in dataclasses.fields(n):
-                    v = getattr(n, f.name)
-                    if dataclasses.is_dataclass(v):
-                        walk(v)
-                    elif isinstance(v, list):
-                        for x in v:
-                            if dataclasses.is_dataclass(x):
-                                walk(x)
-        walk(node)
-        return out
+    def physical(self, ref: A.ColumnRef) -> str:
+        s = self.find_local(ref)
+        if s is None:
+            q = f"{ref.table}." if ref.table else ""
+            raise BindError(f"cannot resolve column {q}{ref.name}")
+        return s.prefix + ref.name
 
+
+# --------------------------------------------------------------- AST helpers
 
 def _split_and(node) -> list:
+    if node is None:
+        return []
     if isinstance(node, A.BinaryOp) and node.op == "and":
         return _split_and(node.left) + _split_and(node.right)
     return [node]
 
 
+def _and_all(conjs: list):
+    out = None
+    for c in conjs:
+        out = c if out is None else A.BinaryOp("and", out, c)
+    return out
+
+
+def _factor_or(node):
+    """Extract conjuncts common to every OR branch (reference optimizer OR
+    factoring; q19 keeps its join key inside each OR arm)."""
+    if not (isinstance(node, A.BinaryOp) and node.op == "or"):
+        return [node]
+
+    def branches(n):
+        if isinstance(n, A.BinaryOp) and n.op == "or":
+            return branches(n.left) + branches(n.right)
+        return [_split_and(n)]
+
+    brs = branches(node)
+    common = [c for c in brs[0] if all(c in b for b in brs[1:])]
+    if not common:
+        return [node]
+    rest_branches = []
+    for b in brs:
+        rest = [c for c in b if c not in common]
+        rest_branches.append(_and_all(rest) or A.Literal(True))
+    out = list(common)
+    rest_or = rest_branches[0]
+    for rb in rest_branches[1:]:
+        rest_or = A.BinaryOp("or", rest_or, rb)
+    out.append(rest_or)
+    return out
+
+
+def _walk_ast(node, fn, into_selects: bool):
+    """Generic AST walk; optionally descends into nested SelectStmt nodes."""
+    if node is None:
+        return
+    fn(node)
+    if isinstance(node, A.SelectStmt):
+        if not into_selects:
+            return
+        for it in node.items:
+            _walk_ast(it.expr, fn, into_selects)
+        for t in node.tables:
+            if t.subquery is not None:
+                _walk_ast(t.subquery, fn, into_selects)
+            _walk_ast(getattr(t, "join_cond", None), fn, into_selects)
+        _walk_ast(node.where, fn, into_selects)
+        for g in node.group_by:
+            _walk_ast(g, fn, into_selects)
+        _walk_ast(node.having, fn, into_selects)
+        for oi in node.order_by:
+            _walk_ast(oi.expr, fn, into_selects)
+        return
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if dataclasses.is_dataclass(v):
+                _walk_ast(v, fn, into_selects)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if dataclasses.is_dataclass(x):
+                        _walk_ast(x, fn, into_selects)
+                    elif isinstance(x, (list, tuple)):
+                        # CaseExpr.whens holds (cond, result) pairs
+                        for y in x:
+                            if dataclasses.is_dataclass(y):
+                                _walk_ast(y, fn, into_selects)
+
+
+def _collect_colrefs(stmt) -> set:
+    """All (qualifier|None, name) pairs anywhere in the statement tree
+    (including nested subqueries: correlated refs count toward the outer
+    table's scan projection)."""
+    out = set()
+
+    def fn(n):
+        if isinstance(n, A.ColumnRef):
+            out.add((n.table, n.name))
+
+    _walk_ast(stmt, fn, into_selects=True)
+    return out
+
+
+def _contains_subquery(node) -> bool:
+    found = [False]
+
+    def fn(n):
+        if isinstance(n, (A.SubqueryExpr, A.ExistsExpr)):
+            found[0] = True
+        if isinstance(n, A.InExpr) and isinstance(n.values, A.SelectStmt):
+            found[0] = True
+
+    _walk_ast(node, fn, into_selects=False)
+    return found[0]
+
+
 def _has_aggregate(node) -> bool:
-    if isinstance(node, A.FuncCall) and node.name in (
-            "sum", "avg", "min", "max", "count"):
+    """Aggregate calls at THIS query level (stops at subquery boundaries)."""
+    if node is None:
+        return False
+    if isinstance(node, (A.SubqueryExpr, A.ExistsExpr, A.SelectStmt)):
+        return False
+    if isinstance(node, A.InExpr):
+        return _has_aggregate(node.expr)
+    if isinstance(node, A.FuncCall) and node.name in _AGG_FUNCS:
         return True
     if dataclasses.is_dataclass(node):
         for f in dataclasses.fields(node):
             v = getattr(node, f.name)
             if dataclasses.is_dataclass(v) and _has_aggregate(v):
                 return True
-            if isinstance(v, list) and any(
+            if isinstance(v, (list, tuple)) and any(
                     dataclasses.is_dataclass(x) and _has_aggregate(x)
                     for x in v):
                 return True
     return False
+
+
+def _colrefs_of(node) -> list:
+    refs = []
+
+    def fn(n):
+        if isinstance(n, A.ColumnRef):
+            refs.append(n)
+
+    _walk_ast(node, fn, into_selects=False)
+    return refs
 
 
 def _default_name(expr, i: int) -> str:
@@ -396,37 +268,14 @@ def _default_name(expr, i: int) -> str:
     return f"col{i}"
 
 
-def _cols_needed(stmt) -> set:
-    out = set()
-
-    def walk(n):
-        if isinstance(n, A.ColumnRef):
-            out.add(n.name)
-        elif dataclasses.is_dataclass(n):
-            for f in dataclasses.fields(n):
-                v = getattr(n, f.name)
-                if dataclasses.is_dataclass(v):
-                    walk(v)
-                elif isinstance(v, list):
-                    for x in v:
-                        if dataclasses.is_dataclass(x):
-                            walk(x)
-    for item in stmt.items:
-        walk(item.expr)
-    for g in stmt.group_by:
-        walk(g)
-    if stmt.having is not None:
-        walk(stmt.having)
-    for oi in stmt.order_by:
-        walk(oi.expr)
-    return out
-
-
 def _fold_date_arith(node: A.BinaryOp):
     """date '1998-12-01' - interval '90' day -> folded date literal."""
     if node.op not in ("+", "-"):
         return None
     l, r = node.left, node.right
+    if isinstance(l, A.CastExpr) and l.target == "date" \
+            and isinstance(l.child, A.Literal):
+        l = A.Literal(l.child.value, "date")
     if isinstance(l, A.Literal) and l.type_hint == "date" \
             and isinstance(r, A.IntervalLit):
         import datetime
@@ -444,3 +293,858 @@ def _fold_date_arith(node: A.BinaryOp):
             return None
         return E.date_lit(out.isoformat())
     return None
+
+
+def _dec_lit_norm(value) -> E.Lit:
+    """Decimal literal with trailing fraction zeros stripped (keeps int64
+    fixed-point arithmetic in range: 0.0001000000 -> scale 4, not 10)."""
+    s = str(value)
+    if "." in s:
+        frac = s.split(".")[1].rstrip("0")
+        scale = max(len(frac), 1)
+    else:
+        scale = 0
+    if scale == 0:
+        return E.Lit(int(float(s)))
+    return E.dec_lit(round(float(s), scale), scale)
+
+
+def _make_cmp(op: str, l: E.Expr, r: E.Expr) -> E.Expr:
+    return {"==": lambda: l == r, "!=": lambda: l != r,
+            "<": lambda: l < r, "<=": lambda: l <= r,
+            ">": lambda: l > r, ">=": lambda: l >= r}[op]()
+
+
+class Binder:
+    def __init__(self, catalog, executor=None):
+        self.catalog = catalog
+        self.executor = executor
+        self._gen_counter = 0
+
+    def _gen(self, tag: str) -> str:
+        self._gen_counter += 1
+        return f"__{tag}{self._gen_counter}"
+
+    # ------------------------------------------------------------ entry
+    def bind(self, stmt: A.SelectStmt) -> P.PhysicalOperator:
+        return self._bind_select(stmt, None).plan
+
+    def bind_sql(self, sql: str) -> P.PhysicalOperator:
+        return self.bind(parse(sql))
+
+    def bind_table_expr(self, table_name: str, node) -> E.Expr:
+        """Bind an expression against a single table (DML WHERE/SET)."""
+        table = self.catalog.table(table_name)
+        src = Source(table_name, table_name, None, list(table.columns),
+                     table.num_rows, [])
+        return self.to_expr(node, Scope([src]))
+
+    # ----------------------------------------------------------- SELECT
+    def _bind_select(self, stmt: A.SelectStmt,
+                     outer: Scope | None) -> Bound:
+        if not stmt.tables:
+            raise BindError("SELECT without FROM is not supported")
+        refs = _collect_colrefs(stmt)
+        sources = self._bind_sources(stmt)
+        scope = Scope(sources, outer)
+        edges, post, sub_preds = self._classify(stmt, scope)
+        plan, cur_size, cur_unique = self._build_tree(scope, edges, refs)
+        for conj in post:
+            plan = P.Filter(plan, self.to_expr(conj, scope))
+        for conj in sub_preds:
+            plan = self._apply_subquery_pred(plan, conj, scope)
+        return self._bind_output(stmt, plan, scope, cur_size)
+
+    # ------------------------------------------------------------- FROM
+    def _bind_sources(self, stmt) -> list[Source]:
+        sources = []
+        for ref in stmt.tables:
+            jt = getattr(ref, "join_type", "inner")
+            cond = getattr(ref, "join_cond", None)
+            if ref.subquery is not None:
+                b = self._bind_select(ref.subquery, None)
+                alias = ref.alias or self._gen("dt")
+                out_names = list(b.out_names)
+                unique_sets = list(b.unique_sets)
+                plan = b.plan
+                if ref.column_aliases:
+                    if len(ref.column_aliases) != len(out_names):
+                        raise BindError(
+                            f"derived table {alias}: {len(ref.column_aliases)}"
+                            f" aliases for {len(out_names)} columns")
+                    ren = dict(zip(out_names, ref.column_aliases))
+                    plan = P.Project(plan, {ren[n]: n for n in out_names})
+                    unique_sets = [frozenset(ren[c] for c in us)
+                                   for us in unique_sets]
+                    out_names = list(ref.column_aliases)
+                sub = Bound(plan, out_names, unique_sets, b.size)
+                sources.append(Source(alias, None, sub, out_names, b.size,
+                                      unique_sets, jt, cond))
+            else:
+                if ref.name not in self.catalog.tables:
+                    raise BindError(f"unknown table {ref.name}")
+                table = self.catalog.table(ref.name)
+                unique_sets = [frozenset({k}) for k in table.pk_indexes]
+                unique_sets += [frozenset(ks) for ks in
+                                getattr(table, "unique_keys", [])]
+                sources.append(Source(
+                    ref.alias or ref.name, ref.name, None,
+                    list(table.columns.keys()), table.num_rows,
+                    unique_sets, jt, cond))
+        return sources
+
+    # ---------------------------------------------- WHERE classification
+    def _classify(self, stmt, scope: Scope):
+        """Split WHERE + ON conjuncts into per-source filters (in place on
+        the sources), equi-join edges, post-join filters, and subquery
+        predicates.  The analog of the reference's filter pushdown +
+        join-edge extraction (src/optimizer/filter_pushdown)."""
+        conjs = []
+        for c in _split_and(stmt.where):
+            conjs.extend(_factor_or(c))
+        for s in scope.sources:
+            if s.join_cond is None:
+                continue
+            on = []
+            for c in _split_and(s.join_cond):
+                on.extend(_factor_or(c))
+            if s.join_type == "left":
+                for c in on:
+                    if _contains_subquery(c):
+                        raise BindError("subquery in LEFT JOIN ON")
+                    e = self._as_edge(c, scope)
+                    if e is not None:
+                        conjs.append(c)
+                        continue
+                    owners = self._owners(c, scope)
+                    if owners == {s.alias}:
+                        s.filters.append(c)
+                    else:
+                        raise BindError(
+                            "LEFT JOIN ON must be equi-join keys plus "
+                            "right-side filters")
+            else:
+                conjs.extend(on)
+        left_aliases = {s.alias for s in scope.sources
+                        if s.join_type == "left"}
+        edges, post, sub_preds = [], [], []
+        for conj in conjs:
+            if _contains_subquery(conj):
+                sub_preds.append(conj)
+                continue
+            if isinstance(conj, A.Literal) and conj.value is True:
+                continue
+            e = self._as_edge(conj, scope)
+            if e is not None:
+                edges.append(e)
+                continue
+            owners = self._owners(conj, scope)
+            if len(owners) == 1:
+                alias = next(iter(owners))
+                if alias in left_aliases:
+                    # WHERE filters on the NULL-extended side apply after
+                    # the outer join (SQL semantics)
+                    post.append(conj)
+                else:
+                    scope.by_alias[alias].filters.append(conj)
+            else:
+                post.append(conj)
+        return edges, post, sub_preds
+
+    def _owners(self, conj, scope: Scope) -> set:
+        owners = set()
+        for ref in _colrefs_of(conj):
+            s, depth = scope.resolve(ref)
+            if s is None:
+                q = f"{ref.table}." if ref.table else ""
+                raise BindError(f"cannot resolve column {q}{ref.name}")
+            if depth > 0:
+                raise BindError(
+                    f"unexpected correlated reference {ref.name}")
+            owners.add(s.alias)
+        return owners
+
+    def _as_edge(self, conj, scope: Scope):
+        if not (isinstance(conj, A.BinaryOp) and conj.op == "=="):
+            return None
+        l, r = conj.left, conj.right
+        if not (isinstance(l, A.ColumnRef) and isinstance(r, A.ColumnRef)):
+            return None
+        ls = scope.find_local(l)
+        rs = scope.find_local(r)
+        if ls is None or rs is None or ls.alias == rs.alias:
+            return None
+        return (ls.alias, l.name, rs.alias, r.name)
+
+    # -------------------------------------------------------- join tree
+    def _source_plan(self, s: Source, scope: Scope,
+                     refs: set) -> P.PhysicalOperator:
+        if s.table_name is not None:
+            table = self.catalog.table(s.table_name)
+            needed = [c for c in table.columns
+                      if (None, c) in refs or (s.alias, c) in refs]
+            bound = [self.to_expr(c, scope) for c in s.filters]
+            return P.TableScan(s.table_name, filters=bound,
+                               projection=needed or None)
+        plan = s.sub.plan
+        for c in s.filters:
+            plan = P.Filter(plan, self.to_expr(c, scope))
+        return plan
+
+    def _build_tree(self, scope: Scope, edges: list, refs: set):
+        """Greedy join-tree construction with prefix bookkeeping.
+
+        Returns (plan, row-count upper bound, unique key sets of the joined
+        relation in physical names)."""
+        sources = scope.sources
+        plans = {s.alias: self._source_plan(s, scope, refs)
+                 for s in sources}
+        if len(sources) == 1:
+            s = sources[0]
+            return (plans[s.alias], s.size,
+                    [frozenset(s.prefix + c for c in us)
+                     for us in s.unique_sets])
+        inner = [s for s in sources if s.join_type != "left"]
+        if not inner:
+            raise BindError("all FROM entries are LEFT JOINs")
+        start = max(inner, key=lambda s: s.size)
+        start.prefix = ""
+        joined = {start.alias}
+        out_names = set(start.cols)
+        plan = plans[start.alias]
+        cur_size = start.size
+        cur_unique = [frozenset(us) for us in start.unique_sets]
+        pending = list(edges)
+        while True:
+            # pick the next build source: one with >=1 edge into the joined set
+            candidates: dict[str, list] = {}
+            for e in pending:
+                la, lc, ra, rc = e
+                if la in joined and ra not in joined:
+                    candidates.setdefault(ra, []).append((la, lc, ra, rc))
+                elif ra in joined and la not in joined:
+                    candidates.setdefault(la, []).append((ra, rc, la, lc))
+            if not candidates:
+                break
+            build_alias = next(iter(candidates))
+            pairs = candidates[build_alias]
+            t = scope.by_alias[build_alias]
+            probe_keys = [scope.by_alias[pa].prefix + pc
+                          for pa, pc, _, _ in pairs]
+            build_keys = [bc for _, _, _, bc in pairs]
+            # assign a disambiguating prefix on name collision (same base
+            # table joined twice: nation n1/n2, lineitem l1/l2)
+            prefix = ""
+            if out_names & set(t.cols):
+                prefix = f"{t.alias}__"
+            t.prefix = prefix
+            build_unique = any(us <= set(build_keys) for us in t.unique_sets)
+            probe_unique = any(us <= set(probe_keys) for us in cur_unique)
+            jt = "left" if t.join_type == "left" else "inner"
+            if build_unique:
+                plan = P.HashJoin(plan, plans[build_alias], probe_keys,
+                                  build_keys, jt, single_match=True,
+                                  build_prefix=prefix)
+                if jt == "inner":
+                    cur_unique = [u for u in cur_unique]
+                # cur_size unchanged: <= probe rows
+            else:
+                # expansion join; bound the capacity from provable uniqueness
+                # (reference analog: statistics-fed size estimates feeding
+                # the build, join_hashtable.cpp:1312)
+                cap = None
+                if probe_unique:
+                    # each build row matches <= 1 probe row
+                    bound = t.size + (cur_size if jt == "left" else 0)
+                    cap = pad_count(max(bound, 1))
+                    cur_size = bound
+                else:
+                    cur_size = cur_size * 2  # config-factor guess
+                plan = P.HashJoin(plan, plans[build_alias], probe_keys,
+                                  build_keys, jt, single_match=False,
+                                  out_capacity=cap, build_prefix=prefix)
+                cur_unique = []  # probe rows may duplicate
+            joined.add(build_alias)
+            out_names |= {prefix + c for c in t.cols}
+            cur_unique += [frozenset(prefix + c for c in us)
+                           for us in t.unique_sets]
+            # retire edges now internal to the joined set as post filters
+            still = []
+            for e in pending:
+                la, lc, ra, rc = e
+                if la in joined and ra in joined:
+                    if (la, lc, ra, rc) not in [
+                            (pa, pc, build_alias, bc)
+                            for pa, pc, _, bc in pairs] and \
+                       (ra, rc, la, lc) not in [
+                            (pa, pc, build_alias, bc)
+                            for pa, pc, _, bc in pairs]:
+                        lp = scope.by_alias[la].prefix + lc
+                        rp = scope.by_alias[ra].prefix + rc
+                        plan = P.Filter(plan, E.Col(lp) == E.Col(rp))
+                else:
+                    still.append(e)
+            pending = still
+        missing = {s.alias for s in sources} - joined
+        if missing:
+            raise BindError(f"disconnected join graph (no equi-join edge "
+                            f"reaches {sorted(missing)})")
+        return plan, cur_size, cur_unique
+
+    # -------------------------------------------- subquery predicates
+    def _apply_subquery_pred(self, plan, conj, scope: Scope,
+                             negated: bool = False):
+        if isinstance(conj, A.UnaryOp) and conj.op == "not":
+            return self._apply_subquery_pred(plan, conj.child, scope,
+                                             not negated)
+        if isinstance(conj, A.ExistsExpr):
+            return self._exists_pred(plan, conj.query, scope,
+                                     negated ^ conj.negated)
+        if isinstance(conj, A.InExpr) and isinstance(conj.values,
+                                                     A.SelectStmt):
+            return self._in_pred(plan, conj, scope, negated ^ conj.negated)
+        if isinstance(conj, A.BinaryOp) and conj.op in _CMPS:
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                    "==": "==", "!=": "!="}
+            if isinstance(conj.right, A.SubqueryExpr):
+                return self._scalar_pred(plan, conj.left, conj.op,
+                                         conj.right.query, scope, negated)
+            if isinstance(conj.left, A.SubqueryExpr):
+                return self._scalar_pred(plan, conj.right, flip[conj.op],
+                                         conj.left.query, scope, negated)
+        raise BindError(f"unsupported subquery predicate shape: {conj!r}")
+
+    def _analyze_subquery(self, substmt: A.SelectStmt, outer: Scope):
+        """Split the subquery's WHERE into local conjuncts, correlated
+        equality pairs [(outer_ref, inner_ref)], and residual correlated
+        conjuncts.  The decorrelation front half of the reference's subquery
+        flattening (src/planner/binder/query_node)."""
+        inner_sources = self._bind_sources(substmt)
+        inner_scope = Scope(inner_sources, outer)
+        local, corr, residual = [], [], []
+        for conj in _split_and(substmt.where):
+            if _contains_subquery(conj):
+                local.append(conj)   # nested subquery: recursion handles it
+                continue
+            depths = []
+            for ref in _colrefs_of(conj):
+                s, depth = inner_scope.resolve(ref)
+                if s is None:
+                    q = f"{ref.table}." if ref.table else ""
+                    raise BindError(f"cannot resolve {q}{ref.name}")
+                if depth > 1:
+                    raise BindError("doubly-nested correlation unsupported")
+                depths.append(depth)
+            if all(d == 0 for d in depths):
+                local.append(conj)
+                continue
+            # correlated equality?
+            if isinstance(conj, A.BinaryOp) and conj.op == "==" and \
+                    isinstance(conj.left, A.ColumnRef) and \
+                    isinstance(conj.right, A.ColumnRef):
+                ls, ld = inner_scope.resolve(conj.left)
+                rs, rd = inner_scope.resolve(conj.right)
+                if ld == 0 and rd == 1:
+                    corr.append((conj.right, conj.left))
+                    continue
+                if ld == 1 and rd == 0:
+                    corr.append((conj.left, conj.right))
+                    continue
+            residual.append(conj)
+        return local, corr, residual, inner_scope
+
+    def _exists_pred(self, plan, substmt, scope: Scope, negated: bool):
+        local, corr, residual, inner_scope = self._analyze_subquery(
+            substmt, scope)
+        if not corr:
+            raise BindError("uncorrelated EXISTS is not supported")
+        probe_keys = [scope.physical(orf) for orf, _ in corr]
+        inner_items = []
+        seen = set()
+        for _, iref in corr:
+            if iref.name not in seen:
+                inner_items.append(A.SelectItem(iref, None))
+                seen.add(iref.name)
+        res_inner = []
+        for conj in residual:
+            for ref in _colrefs_of(conj):
+                s, depth = inner_scope.resolve(ref)
+                if depth == 0 and ref.name not in seen:
+                    inner_items.append(A.SelectItem(ref, None))
+                    seen.add(ref.name)
+                    res_inner.append(ref.name)
+        synth = A.SelectStmt(inner_items, substmt.tables, _and_all(local),
+                             [], None, [], None)
+        sub = self._bind_select(synth, None)
+        build_keys = [iref.name for _, iref in corr]
+        if not residual:
+            return P.HashJoin(plan, sub.plan, probe_keys, build_keys,
+                              "anti" if negated else "semi")
+        mark_prefix = self._gen("mark") + "_"
+        res_expr = None
+        for conj in residual:
+            e = self._bind_mixed(conj, inner_scope, scope, mark_prefix)
+            res_expr = e if res_expr is None else (res_expr & e)
+        return P.MarkJoin(plan, sub.plan, probe_keys, build_keys, res_expr,
+                          negated, build_prefix=mark_prefix)
+
+    def _bind_mixed(self, node, inner_scope: Scope, outer_scope: Scope,
+                    prefix: str) -> E.Expr:
+        """Bind a residual correlated expression over the MarkJoin's
+        combined namespace: inner columns under `prefix`, outer columns at
+        their joined physical names (innermost scope wins)."""
+
+        def resolver(ref: A.ColumnRef) -> str:
+            if inner_scope.find_local(ref) is not None:
+                return prefix + ref.name
+            return outer_scope.physical(ref)
+
+        return self.to_expr(node, outer_scope, resolver=resolver)
+
+    def _in_pred(self, plan, node: A.InExpr, scope: Scope, negated: bool):
+        substmt = node.values
+        if len(substmt.items) != 1:
+            raise BindError("IN subquery must select exactly one column")
+        if not isinstance(node.expr, A.ColumnRef):
+            raise BindError("IN (SELECT ...) left side must be a column")
+        local, corr, residual, inner_scope = self._analyze_subquery(
+            substmt, scope)
+        if residual:
+            raise BindError("IN subquery with non-equality correlation")
+        if not corr and not substmt.group_by and not substmt.having and \
+                not any(_has_aggregate(i.expr) for i in substmt.items):
+            # plain uncorrelated IN: bind as-is (keeps nested predicates)
+            sub = self._bind_select(substmt, None)
+            return P.HashJoin(plan, sub.plan, [scope.physical(node.expr)],
+                              [sub.out_names[0]],
+                              "anti" if negated else "semi")
+        if not corr:
+            # uncorrelated with grouping (q18): bind unchanged
+            sub = self._bind_select(substmt, None)
+            return P.HashJoin(plan, sub.plan, [scope.physical(node.expr)],
+                              [sub.out_names[0]],
+                              "anti" if negated else "semi")
+        # correlated IN -> semi/anti on (in-pair + correlation keys)
+        item = substmt.items[0]
+        if not isinstance(item.expr, A.ColumnRef):
+            raise BindError("correlated IN subquery item must be a column")
+        inner_items = [A.SelectItem(item.expr, None)]
+        seen = {item.expr.name}
+        for _, iref in corr:
+            if iref.name not in seen:
+                inner_items.append(A.SelectItem(iref, None))
+                seen.add(iref.name)
+        synth = A.SelectStmt(inner_items, substmt.tables, _and_all(local),
+                             [], None, [], None)
+        sub = self._bind_select(synth, None)
+        probe_keys = [scope.physical(node.expr)] + \
+            [scope.physical(orf) for orf, _ in corr]
+        build_keys = [item.expr.name] + [iref.name for _, iref in corr]
+        return P.HashJoin(plan, sub.plan, probe_keys, build_keys,
+                          "anti" if negated else "semi")
+
+    def _scalar_pred(self, plan, lhs_ast, op, substmt, scope: Scope,
+                     negated: bool):
+        local, corr, residual, inner_scope = self._analyze_subquery(
+            substmt, scope)
+        if residual:
+            raise BindError("scalar subquery with non-equality correlation")
+        if not corr:
+            sub = self._bind_select(substmt, None)
+            if len(sub.out_names) != 1:
+                raise BindError("scalar subquery must return one column")
+            if not self._is_scalar_stmt(substmt):
+                raise BindError("scalar subquery must aggregate to one row")
+            gen = self._gen("sq")
+            plan = P.BroadcastScalar(plan, sub.plan,
+                                     {gen: sub.out_names[0]})
+            expr = _make_cmp(op, self.to_expr(lhs_ast, scope), E.Col(gen))
+            return P.Filter(plan, ~expr if negated else expr)
+        # correlated scalar: group the inner by the correlation keys and
+        # join back single-match (magic decorrelation; the reference's
+        # flattening of correlated aggregates into delim joins)
+        if substmt.group_by or len(substmt.items) != 1:
+            raise BindError("correlated scalar subquery must be a bare "
+                            "aggregate")
+        item = substmt.items[0]
+        agg_name = self._gen("agg")
+        inner_items = []
+        seen = set()
+        group_refs = []
+        for _, iref in corr:
+            if iref.name not in seen:
+                inner_items.append(A.SelectItem(iref, None))
+                group_refs.append(iref)
+                seen.add(iref.name)
+        inner_items.append(A.SelectItem(item.expr, agg_name))
+        synth = A.SelectStmt(inner_items, substmt.tables, _and_all(local),
+                             list(group_refs), None, [], None)
+        sub = self._bind_select(synth, None)
+        prefix = self._gen("sq") + "_"
+        has_count = self._contains_count(item.expr)
+        found_col = prefix + "found" if has_count else None
+        plan = P.HashJoin(plan, sub.plan,
+                          [scope.physical(orf) for orf, _ in corr],
+                          [iref.name for _, iref in corr],
+                          "left", single_match=True, build_prefix=prefix,
+                          found_column=found_col)
+        agg_col: E.Expr = E.Col(prefix + agg_name)
+        if has_count:
+            # COUNT over an empty correlated set is 0, not NULL
+            agg_col = E.Case(E.Col(found_col), agg_col, E.Lit(0))
+        expr = _make_cmp(op, self.to_expr(lhs_ast, scope), agg_col)
+        return P.Filter(plan, ~expr if negated else expr)
+
+    @staticmethod
+    def _is_scalar_stmt(stmt: A.SelectStmt) -> bool:
+        return (not stmt.group_by
+                and all(_has_aggregate(i.expr) for i in stmt.items))
+
+    @staticmethod
+    def _contains_count(node) -> bool:
+        found = [False]
+
+        def fn(n):
+            if isinstance(n, A.FuncCall) and n.name == "count":
+                found[0] = True
+
+        _walk_ast(node, fn, into_selects=False)
+        return found[0]
+
+    # ------------------------------------------ SELECT list / aggregates
+    def _bind_output(self, stmt, plan, scope: Scope, cur_size: int) -> Bound:
+        items = list(stmt.items)
+        if len(items) == 1 and isinstance(items[0].expr, A.ColumnRef) \
+                and items[0].expr.name == "*":
+            items = [A.SelectItem(A.ColumnRef(None, c), c)
+                     for s in scope.sources for c in s.cols]
+        has_agg = bool(stmt.group_by) or _has_aggregate(stmt.having) or \
+            any(_has_aggregate(i.expr) for i in items)
+        if not has_agg:
+            projections: dict[str, E.Expr] = {}
+            unique_sets = []
+            name_of: dict[str, str] = {}   # physical -> out name
+            for i, item in enumerate(items):
+                name = item.alias or _default_name(item.expr, i)
+                if name in projections:
+                    raise BindError(f"duplicate output column {name}")
+                projections[name] = self.to_expr(item.expr, scope)
+                if isinstance(item.expr, A.ColumnRef):
+                    name_of[scope.physical(item.expr)] = name
+            if len(scope.sources) == 1:
+                s = scope.sources[0]
+                for us in s.unique_sets:
+                    phys = {s.prefix + c for c in us}
+                    if phys <= set(name_of):
+                        unique_sets.append(
+                            frozenset(name_of[p] for p in phys))
+            out = P.Project(plan, projections)
+            out_names = list(projections.keys())
+            if stmt.distinct:
+                out = P.GroupAggregate(out, out_names, [])
+                unique_sets = [frozenset(out_names)]
+            out = self._order_limit(stmt, out, out_names)
+            return Bound(out, out_names, unique_sets, cur_size)
+        return self._bind_aggregate(stmt, items, plan, scope, cur_size)
+
+    def _bind_aggregate(self, stmt, items, plan, scope: Scope,
+                        cur_size: int) -> Bound:
+        # ---- group keys
+        alias_map = {i.alias: i.expr for i in items if i.alias}
+        group_keys: list[str] = []          # physical key column names
+        group_out: dict[str, str] = {}      # out/alias name -> key column
+        pre_proj: dict[str, E.Expr] = {}
+        for g in stmt.group_by:
+            expr_ast = g
+            out_name = None
+            if isinstance(g, A.ColumnRef) and g.table is None \
+                    and g.name in alias_map \
+                    and scope.by_name.get(g.name) is None:
+                expr_ast = alias_map[g.name]
+                out_name = g.name
+            if isinstance(expr_ast, A.ColumnRef):
+                key = scope.physical(expr_ast)
+                group_out[out_name or expr_ast.name] = key
+                if expr_ast.table is not None:
+                    group_out.setdefault(expr_ast.name, key)
+            else:
+                key = out_name or self._gen("gk")
+                pre_proj[key] = self.to_expr(expr_ast, scope)
+                group_out[out_name or key] = key
+            group_keys.append(key)
+        if pre_proj:
+            plan = P.Project(plan, pre_proj, keep_input=True)
+
+        # ---- count(DISTINCT col) interception (q16)
+        distinct_aggs = []
+
+        def find_distinct(n):
+            if isinstance(n, A.FuncCall) and n.distinct:
+                distinct_aggs.append(n)
+
+        for it in items:
+            _walk_ast(it.expr, find_distinct, into_selects=False)
+        if distinct_aggs:
+            return self._bind_count_distinct(stmt, items, plan, scope,
+                                             group_keys, group_out,
+                                             distinct_aggs, cur_size)
+
+        # ---- aggregate extraction from items (+ having)
+        aggs: list[P.Aggregate] = []
+        post_exprs: dict[str, E.Expr] = {}
+        extra_cols: set[str] = set()
+        for i, item in enumerate(items):
+            name = item.alias or _default_name(item.expr, i)
+            if name in post_exprs:
+                raise BindError(f"duplicate output column {name}")
+            post_exprs[name] = self._bind_post_expr(
+                item.expr, scope, aggs, group_out, extra_cols)
+        having_post = None
+        lifted: list[tuple[str, A.SelectStmt]] = []
+        if stmt.having is not None:
+            having_ast = self._replace_subqueries(stmt.having, lifted)
+            extra_cols |= {gen for gen, _ in lifted}
+            having_post = self._bind_post_expr(having_ast, scope, aggs,
+                                               group_out, extra_cols,
+                                               alias_exprs=post_exprs)
+        plan = P.GroupAggregate(plan, group_keys, aggs)
+        for gen, substmt in lifted:
+            sub = self._bind_select(substmt, None)
+            if len(sub.out_names) != 1 or not self._is_scalar_stmt(substmt):
+                raise BindError("HAVING subquery must be a scalar aggregate")
+            plan = P.BroadcastScalar(plan, sub.plan, {gen: sub.out_names[0]})
+        if having_post is not None:
+            plan = P.Filter(plan, having_post)
+        plan = P.Project(plan, post_exprs)
+        out_names = list(post_exprs.keys())
+        if stmt.distinct:
+            plan = P.GroupAggregate(plan, out_names, [])
+        plan = self._order_limit(stmt, plan, out_names)
+        key_outs = frozenset(n for n, k in group_out.items()
+                             if n in out_names and k in group_keys)
+        unique_sets = [key_outs] if group_keys and len(key_outs) == len(
+            set(group_keys)) else ([frozenset(out_names)] if not group_keys
+                                   else [])
+        return Bound(plan, out_names, unique_sets, cur_size)
+
+    def _bind_count_distinct(self, stmt, items, plan, scope, group_keys,
+                             group_out, distinct_aggs, cur_size) -> Bound:
+        """count(DISTINCT col): dedup on (group keys + col) then count —
+        the two-level plan the reference builds for distinct aggregates."""
+        if len(distinct_aggs) != 1 or any(
+                _has_aggregate(i.expr) and i.expr is not distinct_aggs[0]
+                for i in items):
+            raise BindError("only a single count(DISTINCT col) aggregate "
+                            "is supported")
+        agg = distinct_aggs[0]
+        if agg.name != "count" or len(agg.args) != 1:
+            raise BindError("DISTINCT only in count(DISTINCT col)")
+        arg = agg.args[0]
+        if isinstance(arg, A.ColumnRef):
+            dkey = scope.physical(arg)
+        else:
+            dkey = self._gen("dk")
+            plan = P.Project(plan, {dkey: self.to_expr(arg, scope)},
+                             keep_input=True)
+        plan = P.GroupAggregate(plan, group_keys + [dkey], [])
+        cname = self._gen("cd")
+        plan = P.GroupAggregate(plan, group_keys,
+                                [P.Aggregate("count", None, cname)])
+        post_exprs: dict[str, E.Expr] = {}
+        for i, item in enumerate(items):
+            name = item.alias or _default_name(item.expr, i)
+            if isinstance(item.expr, A.FuncCall) and item.expr.distinct:
+                post_exprs[name] = E.Col(cname)
+            else:
+                post_exprs[name] = self._bind_post_expr(
+                    item.expr, scope, [], group_out, {cname})
+        if stmt.having is not None:
+            raise BindError("HAVING with count(DISTINCT) unsupported")
+        plan = P.Project(plan, post_exprs)
+        out_names = list(post_exprs.keys())
+        plan = self._order_limit(stmt, plan, out_names)
+        return Bound(plan, out_names, [], cur_size)
+
+    def _replace_subqueries(self, node, lifted: list):
+        """Replace scalar SubqueryExpr nodes with generated column refs
+        (bound later via BroadcastScalar on the aggregate output)."""
+        if isinstance(node, A.SubqueryExpr):
+            gen = self._gen("hsq")
+            lifted.append((gen, node.query))
+            return A.ColumnRef(None, gen)
+        if dataclasses.is_dataclass(node) and not isinstance(
+                node, A.SelectStmt):
+            kwargs = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if dataclasses.is_dataclass(v) and not isinstance(
+                        v, A.SelectStmt):
+                    v = self._replace_subqueries(v, lifted)
+                elif isinstance(v, A.SubqueryExpr):
+                    v = self._replace_subqueries(v, lifted)
+                elif isinstance(v, list):
+                    v = [self._replace_subqueries(x, lifted)
+                         if dataclasses.is_dataclass(x) else x for x in v]
+                kwargs[f.name] = v
+            return type(node)(**kwargs)
+        return node
+
+    def _bind_post_expr(self, node, scope: Scope, aggs: list,
+                        group_out: dict, extra_cols: set,
+                        alias_exprs: dict | None = None) -> E.Expr:
+        """Bind a select/having expression over the aggregate OUTPUT
+        relation: aggregate calls become Aggregate specs + output column
+        refs; plain columns must be group keys, select aliases (HAVING
+        referencing an aggregate alias), or lifted scalars."""
+        if isinstance(node, A.FuncCall) and node.name in _AGG_FUNCS:
+            if node.distinct:
+                raise BindError("DISTINCT aggregate in unsupported position")
+            gen = self._gen("a")
+            arg = None if (node.star or not node.args) else \
+                self.to_expr(node.args[0], scope)
+            aggs.append(P.Aggregate(node.name, arg, gen))
+            return E.Col(gen)
+
+        def resolver(ref: A.ColumnRef):
+            if ref.table is None:
+                if ref.name in extra_cols:
+                    return ref.name
+                if ref.name in group_out:
+                    return group_out[ref.name]
+                if alias_exprs is not None and ref.name in alias_exprs:
+                    return alias_exprs[ref.name]
+            phys = scope.physical(ref)
+            if phys in group_out.values():
+                return phys
+            raise BindError(
+                f"column {ref.name} must appear in GROUP BY or inside an "
+                f"aggregate")
+
+        def agg_hook(fc: A.FuncCall):
+            return self._bind_post_expr(fc, scope, aggs, group_out,
+                                        extra_cols, alias_exprs)
+
+        return self.to_expr(node, scope, resolver=resolver,
+                            agg_hook=agg_hook)
+
+    def _order_limit(self, stmt, plan, out_names):
+        if stmt.order_by:
+            keys = []
+            for oi in stmt.order_by:
+                if isinstance(oi.expr, A.ColumnRef) \
+                        and oi.expr.name in out_names:
+                    keys.append((oi.expr.name, oi.descending))
+                elif isinstance(oi.expr, A.Literal) \
+                        and isinstance(oi.expr.value, int):
+                    keys.append((list(out_names)[oi.expr.value - 1],
+                                 oi.descending))
+                else:
+                    raise BindError(
+                        "ORDER BY must reference output columns (use an "
+                        "alias for expressions)")
+            return P.OrderBy(plan, keys, limit=stmt.limit)
+        if stmt.limit is not None:
+            return P.Limit(plan, stmt.limit)
+        return plan
+
+    # ------------------------------------------------------- expressions
+    def to_expr(self, node, scope: Scope, resolver=None,
+                agg_hook=None) -> E.Expr:
+        """Bind an AST expression to an engine expression.
+
+        `resolver` overrides ColumnRef -> physical-name resolution;
+        `agg_hook` intercepts aggregate FuncCalls (post-aggregate binding).
+        """
+        if isinstance(node, str):
+            # convenience: bare physical column name
+            return E.Col(node)
+        rec = lambda n: self.to_expr(n, scope, resolver, agg_hook)  # noqa: E731
+        if isinstance(node, A.ColumnRef):
+            if resolver is not None:
+                out = resolver(node)
+                return out if isinstance(out, E.Expr) else E.Col(out)
+            return E.Col(scope.physical(node))
+        if isinstance(node, A.Literal):
+            if node.type_hint == "date":
+                return E.date_lit(node.value)
+            if node.type_hint == "string":
+                return E.Lit(node.value)
+            if node.type_hint == "decimal":
+                return _dec_lit_norm(node.value)
+            return E.Lit(node.value)
+        if isinstance(node, A.IntervalLit):
+            raise BindError("interval outside date arithmetic")
+        if isinstance(node, A.FuncCall):
+            if node.name in _AGG_FUNCS:
+                if agg_hook is not None:
+                    return agg_hook(node)
+                raise BindError(f"aggregate {node.name}() outside "
+                                f"SELECT/HAVING")
+            raise BindError(f"unknown function {node.name}")
+        if isinstance(node, A.BinaryOp):
+            folded = _fold_date_arith(node)
+            if folded is not None:
+                return folded
+            l, r = rec(node.left), rec(node.right)
+            ops = {"+": lambda: l + r, "-": lambda: l - r,
+                   "*": lambda: l * r, "/": lambda: l / r,
+                   "and": lambda: l & r, "or": lambda: l | r,
+                   "==": lambda: l == r, "!=": lambda: l != r,
+                   "<": lambda: l < r, "<=": lambda: l <= r,
+                   ">": lambda: l > r, ">=": lambda: l >= r}
+            return ops[node.op]()
+        if isinstance(node, A.UnaryOp):
+            if node.op == "not":
+                return ~rec(node.child)
+            return E.Lit(0) - rec(node.child)
+        if isinstance(node, A.BetweenExpr):
+            e = rec(node.expr)
+            b = e.between(rec(node.low), rec(node.high))
+            return ~b if node.negated else b
+        if isinstance(node, A.InExpr):
+            if isinstance(node.values, A.SelectStmt):
+                raise BindError("IN (SELECT) must be a top-level conjunct")
+            e = rec(node.expr)
+            vals = []
+            for v in node.values:
+                neg = False
+                while isinstance(v, A.UnaryOp) and v.op == "-":
+                    neg, v = not neg, v.child
+                if not isinstance(v, A.Literal):
+                    raise BindError("IN list must contain literals")
+                vals.append(-v.value if neg else v.value)
+            r = e.isin(vals)
+            return ~r if node.negated else r
+        if isinstance(node, A.LikeExpr):
+            e = rec(node.expr)
+            return e.not_like(node.pattern) if node.negated \
+                else e.like(node.pattern)
+        if isinstance(node, A.CaseExpr):
+            default = rec(node.default) if node.default is not None \
+                else E.Lit(0)
+            out = default
+            for cond, res in reversed(node.whens):
+                out = E.Case(rec(cond), rec(res), out)
+            return out
+        if isinstance(node, A.ExtractExpr):
+            if node.field != "year":
+                raise BindError(f"extract({node.field}) unsupported")
+            return rec(node.child).year()
+        if isinstance(node, A.SubstringExpr):
+            return E.Substr(rec(node.child),
+                            int(node.start.value), int(node.length.value))
+        if isinstance(node, A.CastExpr):
+            if node.target == "date":
+                if isinstance(node.child, A.Literal):
+                    return E.date_lit(node.child.value)
+                raise BindError("CAST(expr AS date) on non-literal")
+            e = rec(node.child)
+            if node.target in ("double", "float", "real", "float8"):
+                return e.cast_double()
+            return e
+        if isinstance(node, A.SubqueryExpr):
+            raise BindError("scalar subquery must be a comparison operand "
+                            "in WHERE/HAVING")
+        if isinstance(node, A.ExistsExpr):
+            raise BindError("EXISTS must be a top-level conjunct")
+        raise BindError(f"cannot bind expression {node!r}")

@@ -100,14 +100,7 @@ def _match_rows(conn, table_name: str, where) -> np.ndarray:
     table = conn.catalog.table(table_name)
     if where is None:
         return np.nonzero(np.asarray(table.row_mask()))[0]
-    from .binder import _Scope
-
-    bt_cols = list(table.columns.keys())
-    scope = _Scope.__new__(_Scope)
-    scope.tables = []
-    scope.col_owner = {c: table_name for c in bt_cols}
-    scope.aliases = {}
-    expr = conn.binder.to_expr(where, scope)
+    expr = conn.binder.bind_table_expr(table_name, where)
     plan = P.TableScan(table_name, filters=[expr])
     rel = conn.executor.execute(plan, compiled=False, optimize=False)
     return np.nonzero(np.asarray(rel.mask))[0]
@@ -202,13 +195,7 @@ def execute_statement(conn, stmt):
                 except StatementError:
                     # general expression: evaluate over the table relation
                     # and gather the assigned rows
-                    from .binder import _Scope
-
-                    scope = _Scope.__new__(_Scope)
-                    scope.tables = []
-                    scope.col_owner = {c: stmt.table for c in table.columns}
-                    scope.aliases = {}
-                    bound = conn.binder.to_expr(expr, scope)
+                    bound = conn.binder.bind_table_expr(stmt.table, expr)
                     rel = conn.executor.execute(
                         P.TableScan(stmt.table), compiled=False,
                         optimize=False)

@@ -90,6 +90,11 @@ class Table:
     capacity: int
     indexes: dict = dataclasses.field(default_factory=dict)  # col -> CubitIndex
     pk_indexes: dict = dataclasses.field(default_factory=dict)  # col -> DirectPKIndex
+    # composite uniqueness constraints (schema metadata): each entry is a
+    # set of columns whose combination is unique — drives the binder's
+    # single-match join decision (the analog of the reference planner
+    # consulting unique indexes for join cardinality)
+    unique_keys: list = dataclasses.field(default_factory=list)
     # bumped by every DML mutation / index merge; the executor's prepared-
     # plan cache keys on (plan signature, all table versions) so cached
     # shape decisions are invalidated exactly when data changes (the analog

@@ -16,7 +16,8 @@ from ..index.cubit import CubitIndex
 from ..index.pk import DirectPKIndex
 from ..storage.table import Catalog, Table, encode_strings, from_numpy
 from . import dbgen
-from .schema import DEFAULT_INDEXES, FOREIGN_KEYS, PK_COLUMNS, SCHEMA
+from .schema import (DEFAULT_INDEXES, FOREIGN_KEYS, PK_COLUMNS, SCHEMA,
+                     UNIQUE_KEYS)
 
 _CACHE: dict[float, Catalog] = {}
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -131,6 +132,8 @@ def load_catalog(sf: float = 0.01, with_indexes: bool = True,
             catalog.register(t)
     for fk_col, (pk_table, pk_col) in FOREIGN_KEYS.items():
         catalog.register_foreign_key(fk_col, pk_table, pk_col)
+    for tname, keys in UNIQUE_KEYS.items():
+        catalog.table(tname).unique_keys = list(keys)
     if cache:
         _CACHE[sf] = catalog
     return catalog

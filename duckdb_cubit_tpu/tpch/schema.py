@@ -70,6 +70,13 @@ FOREIGN_KEYS = {
     "n_nationkey": ("nation", "n_nationkey"),
 }
 
+# Composite uniqueness constraints (TPC-H spec compound primary keys);
+# consumed by the binder's single-match join decision
+UNIQUE_KEYS = {
+    "partsupp": [frozenset({"ps_partkey", "ps_suppkey"})],
+    "lineitem": [frozenset({"l_orderkey", "l_linenumber"})],
+}
+
 # CUBIT indexes built at load: column -> (n_bins, bin_edges | None).
 # Identity-binned low-cardinality columns index their raw device codes;
 # edge-binned columns (dates, cents quantities) get exact answers whenever

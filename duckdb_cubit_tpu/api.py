@@ -43,24 +43,39 @@ class Result:
 
 
 class Connection:
-    def __init__(self, catalog: Catalog | None = None, config=None):
+    def __init__(self, catalog: Catalog | None = None, config=None,
+                 mesh=None):
         from .config import EngineConfig
 
         self.catalog = catalog if catalog is not None else Catalog()
         self.config = config if config is not None else EngineConfig()
+        self.mesh = mesh
+        if mesh is not None and self.catalog.tables:
+            from .parallel.shard import shard_catalog
+
+            self.catalog = shard_catalog(self.catalog, mesh)
         self.executor = Executor(self.catalog, self.config)
         self.binder = Binder(self.catalog, self.executor)
         self._txn_snapshot = None
 
     # -------------------------------------------------------------- data in
     def register_numpy(self, name: str, columns: dict, schema=None):
-        self.catalog.register(from_numpy(name, columns, schema))
+        table = from_numpy(name, columns, schema)
+        if self.mesh is not None:
+            from .parallel.shard import shard_table
+
+            table = shard_table(table, self.mesh)
+        self.catalog.register(table)
 
     def load_tpch(self, sf: float = 0.01):
         from .tpch import load
 
         self.catalog = load.load_catalog(sf)
-        self.executor = Executor(self.catalog)
+        if self.mesh is not None:
+            from .parallel.shard import shard_catalog
+
+            self.catalog = shard_catalog(self.catalog, self.mesh)
+        self.executor = Executor(self.catalog, self.config)
         self.binder = Binder(self.catalog, self.executor)
         return self
 
@@ -146,8 +161,10 @@ class Connection:
         return "\n".join(lines)
 
 
-def connect(sf: float | None = None) -> Connection:
-    conn = Connection()
+def connect(sf: float | None = None, mesh=None) -> Connection:
+    """Open a connection; `mesh` distributes storage + execution over a
+    jax.sharding.Mesh (tables row-sharded, programs GSPMD-compiled)."""
+    conn = Connection(mesh=mesh)
     if sf is not None:
         conn.load_tpch(sf)
     return conn

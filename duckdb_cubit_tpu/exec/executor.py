@@ -99,9 +99,9 @@ class Executor:
 
     def _catalog_version(self):
         cfg = self.config.plan_key() if self.config is not None else ()
-        return (cfg, tuple(sorted(
-            (name, t.version, t.num_rows)
-            for name, t in self.catalog.tables.items())))
+        return (cfg, getattr(self.catalog, "placement", "default"),
+                tuple(sorted((name, t.version, t.num_rows)
+                             for name, t in self.catalog.tables.items())))
 
     def execute(self, plan: PhysicalOperator, profile: bool = False,
                 optimize: bool = True, compiled: bool | None = None):

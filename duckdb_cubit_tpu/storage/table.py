@@ -232,6 +232,10 @@ class Catalog:
         # foreign-key registry: fk column name -> (pk table, pk column);
         # drives FK-dense aggregation and join planning
         self.foreign_keys: dict[str, tuple[str, str]] = {}
+        # device placement tag ("default" or "meshN:..."); part of every
+        # plan-cache key so sharded and unsharded catalogs never share
+        # prepared device arrays
+        self.placement = "default"
 
     def register(self, table: Table):
         self.tables[table.name] = table

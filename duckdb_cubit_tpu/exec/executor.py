@@ -84,7 +84,8 @@ class Executor:
     _prepare_cache: OrderedDict = OrderedDict()
     CACHE_LIMIT = 256
     # operator attributes produced by prepare() (host shape decisions)
-    _PREP_ATTRS = ("_words", "_decode_cap", "_pk", "_reverse_pk", "_fk_dense")
+    _PREP_ATTRS = ("_words", "_decode_cap", "_mask8", "_pk", "_reverse_pk",
+                   "_fk_dense")
 
     def __init__(self, catalog, config=None):
         self.catalog = catalog
@@ -194,6 +195,9 @@ class Executor:
                 if getattr(op, "_words", None) is not None:
                     spec.append((op, "words", None))
                     arrays.append(op._words)
+                if getattr(op, "_mask8", None) is not None:
+                    spec.append((op, "mask8", None))
+                    arrays.append(op._mask8)
                 if getattr(table, "deleted", None) is not None:
                     spec.append((op, "deleted", None))
                     arrays.append(table.deleted)
@@ -223,6 +227,8 @@ class Executor:
                         slot["cols"][name] = arr
                     elif kind == "words":
                         slot["words"] = arr
+                    elif kind == "mask8":
+                        slot["mask8"] = arr
                     elif kind == "deleted":
                         slot["deleted"] = arr
                     else:

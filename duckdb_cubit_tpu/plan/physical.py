@@ -284,6 +284,7 @@ class TableScan(PhysicalOperator):
                 max_count = ctx.config.index_scan_max_count
         self._words = self._index_words(table)
         self._decode_cap = None
+        self._mask8 = None
         if self._words is not None and not self.filters:
             n_rows = table.num_rows
             bound = self._index_count_bound(table)
@@ -292,6 +293,14 @@ class TableScan(PhysicalOperator):
                 cap = pad_count(bound)
                 if cap < table.capacity:
                     self._decode_cap = cap
+            if self._decode_cap is None and \
+                    getattr(table, "deleted", None) is None:
+                # byte-per-row predicate mask, expanded ONCE per prepared
+                # query (off the execution hot path): the fused scan-sum
+                # reads 1 B/row instead of expanding bits per execution,
+                # keeping the hot loop a single fused multiply-reduce pass
+                self._mask8 = bm.expand(self._words, table.capacity).astype(
+                    jnp.int8)
 
     def _execute(self, ctx: ExecContext) -> Relation:
         table = ctx.catalog.table(self.table_name)
@@ -734,6 +743,9 @@ class GroupAggregate(PhysicalOperator):
                                       table.capacity)
 
     def _execute(self, ctx):
+        fused = self._fused_scan_sum(ctx)
+        if fused is not None:
+            return fused
         rel = self.children[0].execute(ctx)
         if not hasattr(self, "_fk_dense"):
             self.prepare(ctx)
@@ -802,6 +814,102 @@ class GroupAggregate(PhysicalOperator):
         out_cols, out_mask = self._aggregate(rel, evaluated, gids, valid,
                                              num_groups, rep)
         return Relation(out_cols, out_mask, num_groups)
+
+    def _fused_scan_sum(self, ctx):
+        """Fused bitmap-scan + ungrouped SUM — the Q6 hot path.
+
+        When the child is a pure index scan (every predicate answered by
+        CUBIT bitvectors, reference row_group.cpp:448's filter-column-first
+        discipline taken to its limit) and the aggregate is sum(col) or
+        sum(col*col), the whole pipeline compiles to ONE fused XLA loop:
+        predicate words -> per-row bits (broadcast+shift, never a
+        materialized row mask) -> int32 product -> exact two-level
+        (hi16, lo16) block sums.  Minimum HBM traffic: words/8 + payload
+        bytes per row — no mask write/read, no int64 elementwise pass.
+        int32 arithmetic safety is proven host-side from the columns' zone
+        maps (the analog of the reference's statistics-driven perfect-hash
+        decisions); falls back to the generic path otherwise.
+        """
+        if self.keys or len(self.aggregates) != 1:
+            return None
+        agg = self.aggregates[0]
+        if agg.kind != "sum" or agg.expr is None:
+            return None
+        from ..ops.expressions import Arith
+        from ..ops.expressions import Col as ECol
+
+        e = agg.expr
+        if isinstance(e, Arith) and e.op == "*" and \
+                isinstance(e.left, ECol) and isinstance(e.right, ECol):
+            col_names = [e.left.name, e.right.name]
+        elif isinstance(e, ECol):
+            col_names = [e.name]
+        else:
+            return None
+        child = self.children[0]
+        if not isinstance(child, TableScan):
+            return None
+        if not hasattr(child, "_words"):
+            child.prepare(ctx)
+        if child._words is None or child.filters or \
+                child._decode_cap is not None or \
+                getattr(child, "always_false", False):
+            return None
+        table = ctx.catalog.table(child.table_name)
+        if getattr(table, "deleted", None) is not None:
+            return None
+        if table.capacity % 8192 != 0:
+            return None
+        scale = 0
+        prod_max = 1
+        nonneg = True
+        for cn in col_names:
+            c = table.columns.get(cn)
+            if c is None or c.dtype.id not in (TypeId.DECIMAL, TypeId.INT32,
+                                               TypeId.INT64):
+                return None
+            if c.zone_map is None:
+                return None
+            if c.dtype.id == TypeId.DECIMAL:
+                scale += c.dtype.scale
+            lo = int(c.zone_map.mins.min())
+            hi = int(c.zone_map.maxs.max())
+            nonneg &= lo >= 0
+            prod_max *= max(abs(lo), abs(hi), 1)
+        if getattr(child, "_mask8", None) is None:
+            return None
+        inputs = ctx.scan_inputs.get(id(child))
+        if inputs is not None:
+            arrays = [inputs["cols"][cn] for cn in col_names]
+            mask8 = inputs.get("mask8")
+            if mask8 is None:
+                return None
+        else:
+            arrays = [table.columns[cn].data for cn in col_names]
+            mask8 = child._mask8
+        int32_ok = (nonneg and prod_max < 2**31
+                    and all(a.dtype == jnp.int32 for a in arrays))
+        if int32_ok:
+            # ONE fused multiply-reduce pass: 1 B/row mask + int32 payload;
+            # int64 accumulation (2x int32 lanes) keeps exactness without a
+            # separate hi/lo pass
+            val = arrays[0] * mask8.astype(jnp.int32)
+            for a in arrays[1:]:
+                val = val * a
+            total = jnp.sum(val.astype(jnp.int64))
+        else:
+            mask = mask8.astype(jnp.bool_)
+            val = arrays[0].astype(jnp.int64)
+            for a in arrays[1:]:
+                val = val * a.astype(jnp.int64)
+            hi, lo = kernels.masked_sum_exact(val, mask)
+            total = (hi << jnp.int64(32)) + lo
+        cnt = jnp.sum(mask8.astype(jnp.int32), dtype=jnp.int64)
+        dt = DataType(TypeId.DECIMAL, scale) if scale else INT64
+        out = {agg.name: RelColumn(total[None], dt, None)}
+        # sum over an empty input is NULL -> zero result rows (matches the
+        # generic _ungrouped null_on_empty handling)
+        return Relation(out, (cnt > 0)[None], 1)
 
     def _aggregate(self, rel, evaluated, gids, valid, num_groups, rep):
         counts = kernels.group_count(gids, valid, num_groups,

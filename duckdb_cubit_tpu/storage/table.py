@@ -151,6 +151,7 @@ def from_numpy(
             raise TypeError(f"unsupported ingest dtype {values.dtype}")
         if schema and col_name in schema:
             dtype = schema[col_name]
+        dev_np = _narrow_decimal(dev_np, dtype, num_rows)
         padded = np.empty(capacity, dtype=dev_np.dtype)
         padded[:num_rows] = dev_np
         padded[num_rows:] = dev_np[0] if num_rows else 0
@@ -173,6 +174,24 @@ def from_numpy(
             host=np.asarray(dev_np),
         )
     return Table(name=name, columns=columns, num_rows=num_rows, capacity=capacity)
+
+
+def _narrow_decimal(dev_np: np.ndarray, dtype: DataType,
+                    num_rows: int) -> np.ndarray:
+    """Store DECIMAL columns as int32 on device when the value range fits.
+
+    The logical type keeps its scale; every arithmetic path widens to int64
+    before computing.  Halves the HBM traffic of payload columns — the
+    analog of the reference's bitpacking compression for the scan path
+    (reference src/storage/compression/bitpacking.cpp), chosen at ingest
+    from the observed range like the reference's per-segment analyze step.
+    """
+    if dtype.id != TypeId.DECIMAL or dev_np.dtype != np.int64 or not num_rows:
+        return dev_np
+    lo, hi = dev_np[:num_rows].min(), dev_np[:num_rows].max()
+    if -(2**31) < lo and hi < 2**31 - 1:
+        return dev_np.astype(np.int32)
+    return dev_np
 
 
 def from_encoded(name: str, cols: dict[str, dict],
@@ -205,6 +224,7 @@ def from_encoded(name: str, cols: dict[str, dict],
                 raise TypeError(f"unsupported dtype {raw.dtype}")
         if schema and col_name in schema:
             dtype = schema[col_name]
+        dev_np = _narrow_decimal(dev_np, dtype, num_rows)
         padded = np.empty(capacity, dtype=dev_np.dtype)
         padded[:num_rows] = dev_np
         padded[num_rows:] = dev_np[0] if num_rows else 0

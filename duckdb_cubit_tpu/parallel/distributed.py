@@ -69,6 +69,80 @@ def make_grouped_agg_step(mesh, num_groups: int):
         out_specs=(P(), P(), P()), check_vma=False))
 
 
+def make_pipelined_join_step(mesh, build_quota: int, probe_quota: int,
+                             n_chunks: int):
+    """Distributed hash join with DOUBLE-BUFFERED probe exchange.
+
+    The probe side is split into n_chunks equal chunks and software-
+    pipelined: while chunk i is probed against the local hash table, chunk
+    i+1's all_to_all is already issued — the two have no data dependence,
+    so XLA's async collectives overlap the ICI transfer with the probe
+    compute.  This is the TPU analog of the reference overlapping scan
+    prefetch with compute (row_group.cpp:487-505) applied to the exchange,
+    and the BASELINE.json "double-buffered exchange" requirement.
+
+    Semantics identical to make_partitioned_join_step (sum of
+    probe_value * build_value over matches, plus total overflow).
+    """
+    from .exchange import _pack_buckets
+
+    n = mesh.devices.size
+
+    def local(bkeys, bvals, bvalid, pkeys, pvals, pvalid):
+        bk, bp, bv, bovf = _pack_buckets(bkeys, [bvals], bvalid, n,
+                                         build_quota)
+        bk = jax.lax.all_to_all(bk, DATA_AXIS, 0, 0).reshape(-1)
+        bval = jax.lax.all_to_all(bp[0], DATA_AXIS, 0, 0).reshape(-1)
+        bvld = jax.lax.all_to_all(bv, DATA_AXIS, 0, 0).reshape(-1)
+        size = 1
+        while size < 2 * bk.shape[0]:
+            size *= 2
+        ht_keys, ht_entry, starts, counts, srows, _ = join_ops._build_kernel(
+            bk, bvld, size, bk.shape[0])
+
+        def exchange_chunk(k, v, vd):
+            ck, cp, cv, ovf = _pack_buckets(k, [v], vd, n, probe_quota)
+            ck = jax.lax.all_to_all(ck, DATA_AXIS, 0, 0).reshape(-1)
+            cval = jax.lax.all_to_all(cp[0], DATA_AXIS, 0, 0).reshape(-1)
+            cvld = jax.lax.all_to_all(cv, DATA_AXIS, 0, 0).reshape(-1)
+            return ck, cval, cvld, ovf
+
+        def probe_chunk(ek, ev, evd):
+            entry = join_ops._probe_kernel(ht_keys, ht_entry, ek, evd, size)
+            found = entry >= 0
+            safe = jnp.maximum(entry, 0)
+            joined = jnp.where(found, bval[srows[starts[safe]]], 0)
+            return jnp.sum(jnp.where(found, ev * joined, 0))
+
+        pk_c = pkeys.reshape(n_chunks, -1)
+        pv_c = pvals.reshape(n_chunks, -1)
+        pvd_c = pvalid.reshape(n_chunks, -1)
+        # prologue: exchange chunk 0; steady state: exchange i+1 || probe i
+        buf = exchange_chunk(pk_c[0], pv_c[0], pvd_c[0])
+
+        def step(carry, xs):
+            (ek, ev, evd, povf), (nk, nv, nvd) = carry, xs
+            nxt = exchange_chunk(nk, nv, nvd)   # in flight during probe
+            partial = probe_chunk(ek, ev, evd)
+            return ((*nxt[:3], povf + nxt[3]), partial)
+
+        # feed chunks 1.. plus one all-invalid epilogue chunk
+        xs = (jnp.concatenate([pk_c[1:], pk_c[:1]]),
+              jnp.concatenate([pv_c[1:], pv_c[:1]]),
+              jnp.concatenate([pvd_c[1:],
+                               jnp.zeros_like(pvd_c[:1])]))
+        carry0 = (buf[0], buf[1], buf[2], buf[3])
+        (_, _, _, povf), partials = jax.lax.scan(step, carry0, xs)
+        total = jax.lax.psum(jnp.sum(partials), DATA_AXIS)
+        ovf = jax.lax.psum(bovf + povf, DATA_AXIS)
+        return total, ovf
+
+    spec = P(DATA_AXIS)
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 6, out_specs=(P(), P()),
+        check_vma=False))
+
+
 def make_partitioned_join_step(mesh, build_quota: int, probe_quota: int):
     """Distributed hash join: radix-exchange both sides, then local joins.
 

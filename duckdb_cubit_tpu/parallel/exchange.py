@@ -53,6 +53,59 @@ def _pack_buckets(keys, payload_cols, valid, n_dest: int, quota: int):
     return out_keys, out_payload, out_valid, overflow
 
 
+def default_quota(rows_per_shard: int, n_dest: int, slack: float = 2.0) -> int:
+    """Starting per-destination quota: slack * mean bucket fill, padded.
+
+    The analog of the reference's initial radix-bit choice
+    (join_hashtable.hpp:316 INITIAL_RADIX_BITS): sized for roughly uniform
+    keys, grown by exchange_with_requota when the data is skewed.
+    """
+    mean = max(1, -(-rows_per_shard // max(n_dest, 1)))
+    q = int(mean * slack)
+    # round up to a lane multiple so the (n_dest, quota) buckets tile cleanly
+    return -(-q // 128) * 128
+
+
+_EXCHANGE_CACHE: dict = {}
+
+
+def _cached_exchange(mesh, quota: int, n_payload: int):
+    key = (tuple(d.id for d in mesh.devices.flat), quota, n_payload)
+    fn = _EXCHANGE_CACHE.get(key)
+    if fn is None:
+        fn = _EXCHANGE_CACHE[key] = make_radix_exchange(mesh, quota, n_payload)
+    return fn
+
+
+def exchange_with_requota(mesh, keys, valid, payloads, *, quota=None,
+                          slack: float = 2.0, max_rounds: int = 6):
+    """Skew-aware radix exchange: double the quota until nothing overflows.
+
+    The host reads ONE overflow scalar per round and re-runs the whole
+    exchange with a doubled per-destination quota — the TPU analog of the
+    reference detecting an over-full hash table and repartitioning with
+    more radix bits (SetRepartitionRadixBits/Repartition,
+    join_hashtable.cpp:1370-1400).  Geometric growth bounds total work at
+    <2x the final successful round; the compiled exchange for each quota
+    is cached, so a workload with stable skew pays the recompile once.
+
+    Returns (keys', valid', payloads', quota_used, rounds).
+    """
+    n = mesh.devices.size
+    if quota is None:
+        quota = default_quota(keys.shape[0] // n, n, slack)
+    for rounds in range(1, max_rounds + 1):
+        fn = _cached_exchange(mesh, quota, len(payloads))
+        out = fn(keys, valid, *payloads)
+        k2, v2, overflow = out[0], out[1], out[2]
+        if int(overflow) == 0:
+            return k2, v2, list(out[3:]), quota, rounds
+        quota *= 2
+    raise RuntimeError(
+        f"radix exchange still overflowing after {max_rounds} requota rounds "
+        f"(final quota {quota}); key distribution is pathological")
+
+
 def make_radix_exchange(mesh, quota: int, n_payload: int):
     """Build a shard_mapped all_to_all exchange function.
 

@@ -684,6 +684,172 @@ class HashJoin(PhysicalOperator):
                 f"rpk={getattr(self, '_reverse_pk', None)}]")
 
 
+def _cmp_arrays(a, op: str, b):
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    if op == "==":
+        return a == b
+    raise ValueError(f"unsupported range-join op {op}")
+
+
+class RangeJoin(PhysicalOperator):
+    """Non-equi join (analog of PhysicalPiecewiseMergeJoin /
+    PhysicalIEJoin / PhysicalNestedLoopJoin / PhysicalCrossProduct,
+    reference src/execution/operator/join/physical_piecewise_merge_join.cpp,
+    physical_iejoin.cpp:1-1049, physical_nested_loop_join.cpp).
+
+    TPU-first: instead of the reference's per-thread merge loops or an
+    O(N*M) nested loop, the build side is SORTED on the first condition's
+    build expression and each probe row's match set becomes a contiguous
+    range located by one vectorized searchsorted (log B, no data-dependent
+    control flow).  The range expands through the same static-capacity
+    machinery as the hash join, and every REMAINING condition is
+    re-checked on the expanded pairs (the ResolvePredicates analog,
+    join_hashtable.cpp:768 — here doing IEJoin's second-dimension check).
+    An EMPTY condition list is the cross product.
+
+    conditions: [(probe_expr, op, build_expr), ...], op in < <= > >= ==,
+    each expr referencing only its own side's columns.  join_type:
+    'inner' | 'semi' | 'anti' | 'left' ('left' requires a single driver
+    condition; the binder rejects residual conditions on LEFT).
+    """
+
+    name = "range_join"
+
+    def __init__(self, probe: PhysicalOperator, build: PhysicalOperator,
+                 conditions: Sequence[tuple], join_type: str = "inner",
+                 out_capacity: int | None = None, build_prefix: str = ""):
+        super().__init__([probe, build])
+        self.conditions = list(conditions)
+        self.join_type = join_type
+        self.out_capacity = out_capacity
+        self.build_prefix = build_prefix
+        if join_type == "left" and len(self.conditions) > 1:
+            raise ValueError("LEFT range join supports one condition")
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def blocking_children(self):
+        return [self.children[1]]
+
+    def _ranges(self, probe_rel: Relation, build_rel: Relation):
+        """Per-probe (start, count) into the sorted build order."""
+        big = jnp.int64(2**62)
+        if not self.conditions:  # cross product: every valid build row
+            sort_key = jnp.where(build_rel.mask, jnp.int64(0), big)
+            order = jnp.argsort(sort_key)
+            nb = jnp.sum(build_rel.mask).astype(jnp.int32)
+            start = jnp.zeros(probe_rel.capacity, jnp.int32)
+            count = jnp.where(probe_rel.mask, nb, 0)
+            return start, count, order
+        pe, op, be = self.conditions[0]
+        bt = build_rel.evaluate(be)
+        pt = probe_rel.evaluate(pe)
+        bvalid = build_rel.mask if bt.valid is None \
+            else build_rel.mask & bt.valid
+        bv = bt.array.astype(jnp.int64)
+        sort_key = jnp.where(bvalid, bv, big)     # invalid rows sort last
+        order = jnp.argsort(sort_key)
+        sorted_vals = sort_key[order]
+        nb = jnp.sum(bvalid).astype(jnp.int32)
+        pv = pt.array.astype(jnp.int64)
+        lo = jnp.searchsorted(sorted_vals, pv, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(sorted_vals, pv, side="right").astype(jnp.int32)
+        if op == "<":          # probe < build: strictly-greater suffix
+            start, count = hi, nb - hi
+        elif op == "<=":
+            start, count = lo, nb - lo
+        elif op == ">":        # probe > build: strictly-smaller prefix
+            start, count = jnp.zeros_like(lo), lo
+        elif op == ">=":
+            start, count = jnp.zeros_like(hi), hi
+        elif op == "==":
+            start, count = lo, hi - lo
+        else:
+            raise ValueError(f"unsupported range-join op {op}")
+        count = jnp.maximum(count, 0)
+        if pt.valid is not None:               # NULL probe value: no match
+            count = jnp.where(pt.valid, count, 0)
+        return start, count, order
+
+    def _execute(self, ctx):
+        probe_rel = self.children[0].execute(ctx)
+        build_rel = self.children[1].execute(ctx)
+        left = self.join_type == "left"
+        start, count, order = self._ranges(probe_rel, build_rel)
+        cap = self.out_capacity
+        if cap is None:
+            factor = (ctx.config.join_expansion_factor
+                      if ctx.config is not None else 1.0)
+            cap = pad_count(int(probe_rel.capacity * factor))
+        entry = jnp.where(count > 0,
+                          jnp.arange(probe_rel.capacity, dtype=jnp.int32),
+                          -1)
+        out_probe, out_build, total = join_ops.expand_matches(
+            start, count, order, entry, probe_rel.mask, cap, left=left)
+        ctx.checks.append((f"range_join_expansion<= {cap}", total <= cap))
+        valid = jnp.arange(cap) < total
+        matched = out_build >= 0
+        # residual conditions re-checked on the expanded pairs
+        keep = valid & matched
+        if len(self.conditions) > 1:
+            gp = probe_rel.gather(out_probe, keep, cap)
+            safe_b = jnp.clip(out_build, 0, build_rel.capacity - 1)
+            gb = Relation(
+                {n: RelColumn(jnp.take(c.array, safe_b, axis=0), c.dtype,
+                              c.dictionary, c.domain,
+                              None if c.valid is None
+                              else jnp.take(c.valid, safe_b, axis=0))
+                 for n, c in build_rel.columns.items()}, keep, cap)
+            for pe2, op2, be2 in self.conditions[1:]:
+                pt2 = gp.evaluate(pe2)
+                bt2 = gb.evaluate(be2)
+                c2 = _cmp_arrays(pt2.array, op2, bt2.array)
+                if pt2.valid is not None:
+                    c2 = c2 & pt2.valid
+                if bt2.valid is not None:
+                    c2 = c2 & bt2.valid
+                keep = keep & c2
+        if self.join_type in ("semi", "anti"):
+            tgt = jnp.where(keep, jnp.maximum(out_probe, 0),
+                            probe_rel.capacity)
+            hit = jnp.zeros(probe_rel.capacity + 1, jnp.bool_).at[tgt].set(
+                True, mode="drop")[: probe_rel.capacity]
+            m = ~hit if self.join_type == "anti" else hit
+            return probe_rel.with_mask(m & probe_rel.mask)
+        out_valid = (valid if left else keep)
+        out = probe_rel.gather(out_probe, out_valid, cap)
+        cols = dict(out.columns)
+        safe_b = jnp.clip(out_build, 0, build_rel.capacity - 1)
+        for n, c in build_rel.columns.items():
+            out_name = self.build_prefix + n
+            if out_name not in cols:
+                v = None if c.valid is None else jnp.take(c.valid, safe_b,
+                                                          axis=0)
+                if left:    # unmatched probe rows see NULL build values
+                    v = matched if v is None else (v & matched)
+                cols[out_name] = RelColumn(
+                    jnp.take(c.array, safe_b, axis=0), c.dtype, c.dictionary,
+                    c.domain, v)
+        return Relation(cols, out_valid, cap)
+
+    def describe(self):
+        conds = [f"{p!r}{op}{b!r}" for p, op, b in self.conditions] or ["x"]
+        return f"range_join({self.join_type}, {', '.join(conds)})"
+
+    def _self_signature(self):
+        conds = ";".join(f"{p!r}{op}{b!r}" for p, op, b in self.conditions)
+        return (f"range_join[{self.join_type};{conds};{self.out_capacity};"
+                f"{self.build_prefix}]")
+
+
 @dataclasses.dataclass
 class Aggregate:
     kind: str                 # sum | count | min | max | avg | sum_double

@@ -347,8 +347,10 @@ class Binder:
         refs = _collect_colrefs(stmt)
         sources = self._bind_sources(stmt)
         scope = Scope(sources, outer)
-        edges, post, sub_preds = self._classify(stmt, scope)
-        plan, cur_size, cur_unique = self._build_tree(scope, edges, refs)
+        edges, post, sub_preds, range_edges = self._classify(stmt, scope)
+        plan, cur_size, cur_unique, leftover = self._build_tree(
+            scope, edges, refs, range_edges)
+        post = leftover + post
         for conj in post:
             plan = P.Filter(plan, self.to_expr(conj, scope))
         for conj in sub_preds:
@@ -427,7 +429,7 @@ class Binder:
                 conjs.extend(on)
         left_aliases = {s.alias for s in scope.sources
                         if s.join_type == "left"}
-        edges, post, sub_preds = [], [], []
+        edges, post, sub_preds, range_edges = [], [], [], []
         for conj in conjs:
             if _contains_subquery(conj):
                 sub_preds.append(conj)
@@ -437,6 +439,10 @@ class Binder:
             e = self._as_edge(conj, scope)
             if e is not None:
                 edges.append(e)
+                continue
+            re_ = self._as_range_edge(conj, scope)
+            if re_ is not None:
+                range_edges.append(re_)
                 continue
             owners = self._owners(conj, scope)
             if len(owners) == 1:
@@ -449,7 +455,23 @@ class Binder:
                     scope.by_alias[alias].filters.append(conj)
             else:
                 post.append(conj)
-        return edges, post, sub_preds
+        return edges, post, sub_preds, range_edges
+
+    def _as_range_edge(self, conj, scope: Scope):
+        """A non-equi conjunct whose two sides each touch exactly one
+        (distinct) source: a range-join edge (the IEJoin/merge-join input,
+        reference physical_piecewise_merge_join.cpp)."""
+        if not (isinstance(conj, A.BinaryOp) and conj.op in
+                ("<", "<=", ">", ">=")):
+            return None
+        try:
+            lo = self._owners(conj.left, scope)
+            ro = self._owners(conj.right, scope)
+        except BindError:
+            return None
+        if len(lo) != 1 or len(ro) != 1 or lo == ro:
+            return None
+        return (next(iter(lo)), next(iter(ro)), conj)
 
     def _owners(self, conj, scope: Scope) -> set:
         owners = set()
@@ -491,11 +513,16 @@ class Binder:
             plan = P.Filter(plan, self.to_expr(c, scope))
         return plan
 
-    def _build_tree(self, scope: Scope, edges: list, refs: set):
+    def _build_tree(self, scope: Scope, edges: list, refs: set,
+                    range_edges: list = ()):
         """Greedy join-tree construction with prefix bookkeeping.
 
-        Returns (plan, row-count upper bound, unique key sets of the joined
-        relation in physical names)."""
+        Equi edges drive hash joins first; remaining sources attach via
+        range joins (non-equi edges -> RangeJoin, the IEJoin/merge-join
+        analog) or, with no edge at all, a cross product.  Returns (plan,
+        row-count upper bound, unique key sets of the joined relation in
+        physical names, leftover AST conjuncts to apply as post filters)."""
+        range_edges = list(range_edges)
         sources = scope.sources
         plans = {s.alias: self._source_plan(s, scope, refs)
                  for s in sources}
@@ -503,7 +530,8 @@ class Binder:
             s = sources[0]
             return (plans[s.alias], s.size,
                     [frozenset(s.prefix + c for c in us)
-                     for us in s.unique_sets])
+                     for us in s.unique_sets],
+                    [c for _, _, c in range_edges])
         inner = [s for s in sources if s.join_type != "left"]
         if not inner:
             raise BindError("all FROM entries are LEFT JOINs")
@@ -585,11 +613,52 @@ class Binder:
                 else:
                     still.append(e)
             pending = still
+        # attach sources with no equi edge: range join where a non-equi
+        # edge exists (IEJoin/merge-join analog), else cross product
+        # (PhysicalCrossProduct analog)
         missing = {s.alias for s in sources} - joined
-        if missing:
-            raise BindError(f"disconnected join graph (no equi-join edge "
-                            f"reaches {sorted(missing)})")
-        return plan, cur_size, cur_unique
+        while missing:
+            pick = None
+            for la, ra, conj in range_edges:
+                if la in joined and ra in missing:
+                    pick = ra
+                    break
+                if ra in joined and la in missing:
+                    pick = la
+                    break
+            if pick is None:
+                pick = min(missing, key=lambda a: scope.by_alias[a].size)
+            t = scope.by_alias[pick]
+            if t.join_type == "left":
+                raise BindError("LEFT JOIN requires equi-join keys in ON")
+            conds, still = [], []
+            for la, ra, conj in range_edges:
+                if ra == pick and la in joined:
+                    be = self.to_expr(conj.right, scope)   # raw: prefix=""
+                    conds.append((self.to_expr(conj.left, scope),
+                                  conj.op, be))
+                elif la == pick and ra in joined:
+                    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                    be = self.to_expr(conj.left, scope)
+                    conds.append((self.to_expr(conj.right, scope),
+                                  flip[conj.op], be))
+                else:
+                    still.append((la, ra, conj))
+            range_edges = still
+            prefix = ""
+            if out_names & set(t.cols):
+                prefix = f"{t.alias}__"
+            t.prefix = prefix
+            bound = max(cur_size, 1) * max(t.size, 1)
+            plan = P.RangeJoin(plan, plans[pick], conds,
+                               out_capacity=pad_count(min(bound, 1 << 22)),
+                               build_prefix=prefix)
+            cur_size = bound
+            cur_unique = []
+            joined.add(pick)
+            out_names |= {prefix + c for c in t.cols}
+            missing.discard(pick)
+        return plan, cur_size, cur_unique, [c for _, _, c in range_edges]
 
     # -------------------------------------------- subquery predicates
     def _apply_subquery_pred(self, plan, conj, scope: Scope,

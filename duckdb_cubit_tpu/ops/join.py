@@ -153,15 +153,18 @@ def expand_matches(starts, counts, sorted_rows, entry, probe_valid,
     first_pos = jnp.where(active, offs, out_capacity)
     out_probe = out_probe.at[first_pos].set(
         jnp.where(active, probe_rows, -1), mode="drop")
-    # fill runs: forward-fill the last set value
-    filled = jax.lax.associative_scan(
-        lambda a, b: jnp.where(b < 0, a, b), out_probe)
+    # fill runs: forward-fill the last set value.  The scattered values
+    # (probe row ids) strictly increase with output position, so the fill is
+    # exactly a running max — lax.cummax is a fused TPU scan primitive,
+    # whereas lax.associative_scan unrolls log2(n) slice/pad levels that
+    # take minutes to compile at SF1 shapes.
+    filled = jax.lax.cummax(out_probe, axis=0)
     valid_out = jnp.arange(out_capacity) < total
     out_probe = jnp.where(valid_out, filled, -1)
     # per-output offset within its run
     run_start_pos = jnp.zeros(out_capacity, jnp.int32).at[first_pos].set(
         first_pos.astype(jnp.int32), mode="drop")
-    run_start_filled = jax.lax.associative_scan(jnp.maximum, run_start_pos)
+    run_start_filled = jax.lax.cummax(run_start_pos, axis=0)
     within = jnp.arange(out_capacity, dtype=jnp.int32) - run_start_filled
     safe_probe = jnp.maximum(out_probe, 0)
     row_entry = entry[safe_probe]

@@ -47,8 +47,7 @@ def row_number(partition_keys, order_keys, valid):
     spart, _, perm = _sort_by(partition_keys, order_keys, valid)
     starts = _segment_starts(spart, n)
     pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(starts, pos, 0))
+    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
     rn = pos - seg_start + 1
     return _scatter_back(rn, perm, n)
 
@@ -64,10 +63,8 @@ def rank(partition_keys, order_keys, valid):
             [jnp.ones(1, jnp.bool_), k[1:] != k[:-1]])
     new_rank_pos = starts | order_change
     pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(starts, pos, 0))
-    last_change = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(new_rank_pos, pos, 0))
+    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
+    last_change = jax.lax.cummax(jnp.where(new_rank_pos, pos, 0), axis=0)
     r = last_change - seg_start + 1
     return _scatter_back(r, perm, n)
 
@@ -80,8 +77,7 @@ def running_sum(partition_keys, order_keys, values, valid):
     v_sorted = jnp.where(valid[perm], values.astype(jnp.int64)[perm], 0)
     csum = jnp.cumsum(v_sorted)
     pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(starts, pos, 0))
+    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
     base = jnp.where(seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0)
     run = csum - base
     return _scatter_back(run, perm, n)
@@ -95,15 +91,13 @@ def partition_total(partition_keys, values, valid):
     v_sorted = jnp.where(valid[perm], values.astype(jnp.int64)[perm], 0)
     csum = jnp.cumsum(v_sorted)
     pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(starts, pos, 0))
+    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
     # segment end = next segment's start - 1 (computed via reversed scan)
     rev_starts = jnp.flip(starts)
     rev_pos = jnp.arange(n, dtype=jnp.int64)
-    nxt = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(jnp.flip(
-            jnp.concatenate([starts[1:], jnp.ones(1, jnp.bool_)])),
-            rev_pos, 0))
+    nxt = jax.lax.cummax(jnp.where(jnp.flip(
+        jnp.concatenate([starts[1:], jnp.ones(1, jnp.bool_)])),
+        rev_pos, 0), axis=0)
     seg_end = n - 1 - jnp.flip(nxt)
     total = csum[seg_end] - jnp.where(
         seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0)

@@ -934,9 +934,12 @@ class GroupAggregate(PhysicalOperator):
             gid = lut[jnp.clip(key, 0, max_key)]
             valid = rel.mask & in_range & (gid >= 0)
             gids = jnp.maximum(gid, 0).astype(jnp.int32)
-            rows = jnp.arange(rel.capacity, dtype=jnp.int32)
-            rep = jnp.full(num_groups + 1, -1, jnp.int32).at[
-                jnp.where(valid, gids, num_groups)].max(rows)[:num_groups]
+            if num_groups > self._small:
+                rep = jnp.zeros(num_groups, jnp.int32)  # sorted path recomputes
+            else:
+                rows = jnp.arange(rel.capacity, dtype=jnp.int32)
+                rep = jnp.full(num_groups + 1, -1, jnp.int32).at[
+                    jnp.where(valid, gids, num_groups)].max(rows)[:num_groups]
             out_cols, out_mask = self._aggregate(rel, evaluated, gids, valid,
                                                  num_groups, rep)
             return Relation(out_cols, out_mask, num_groups)
@@ -1078,6 +1081,13 @@ class GroupAggregate(PhysicalOperator):
         return Relation(out, (cnt > 0)[None], 1)
 
     def _aggregate(self, rel, evaluated, gids, valid, num_groups, rep):
+        if num_groups > self._small:
+            # large group domains: scatter-add with duplicate indices
+            # serializes on TPU — reduce in group-sorted order instead
+            # (sort + cumsum + boundary gathers, all bandwidth-bound; see
+            # kernels.py "sorted segment ops")
+            return self._aggregate_sorted(rel, evaluated, gids, valid,
+                                          num_groups, rep)
         counts = kernels.group_count(gids, valid, num_groups,
                                      small_limit=self._small)
         occupied = counts > 0
@@ -1117,6 +1127,103 @@ class GroupAggregate(PhysicalOperator):
             out_cols[agg.name] = self._one_agg(agg, evaluated, gids, valid,
                                                num_groups, counts)
         return out_cols, occupied
+
+    def _aggregate_sorted(self, rel, evaluated, gids, valid, num_groups, rep):
+        gid_sorted, srows = kernels.sort_by_group(gids, valid)
+        start, end = kernels.segment_bounds(gid_sorted, num_groups)
+        counts = (end - start).astype(jnp.int64)
+        occupied = counts > 0
+        out_cols: dict[str, RelColumn] = {}
+        n = gids.shape[0]
+        safe_start = jnp.minimum(start, n - 1)
+        if rep is None and self.keys:
+            # dense-code grouping: keys reconstructed from code arithmetic
+            out_cols.update(self._dense_key_columns(rel, num_groups))
+        else:
+            rep_rows = jnp.where(occupied, srows[safe_start], 0)
+            safe_rep = jnp.clip(rep_rows, 0, rel.capacity - 1)
+            for k in list(self.keys) + list(self.carry):
+                c = rel.columns[k]
+                out_cols[k] = RelColumn(
+                    jnp.take(c.array, safe_rep, axis=0), c.dtype, c.dictionary)
+        for agg in self.aggregates:
+            out_cols[agg.name] = self._one_agg_sorted(
+                agg, evaluated, gids, valid, num_groups, counts,
+                srows, start, end)
+        return out_cols, occupied
+
+    def _one_agg_sorted(self, agg, evaluated, gids, valid, num_groups, counts,
+                        srows, start, end):
+        if agg.kind == "count" and agg.expr is None:
+            return RelColumn(counts, INT64, None)
+        t = evaluated[agg.name]
+        avalid = valid if t.valid is None else (valid & t.valid)
+        v_sorted = jnp.take(t.array, srows, axis=0)
+        avalid_sorted = jnp.take(avalid, srows, axis=0)
+        if t.valid is not None or agg.kind == "count":
+            nonnull = kernels.segment_count(avalid_sorted, start, end)
+            out_valid = None if t.valid is None else (nonnull > 0)
+        else:
+            nonnull, out_valid = counts, None
+        if agg.kind == "count":
+            return RelColumn(nonnull, INT64, None)
+        if agg.kind in ("sum", "avg") and t.dtype.id in (
+                TypeId.DECIMAL, TypeId.INT32, TypeId.INT64):
+            hi, lo = kernels.segment_sum_exact(
+                v_sorted.astype(jnp.int64), avalid_sorted, start, end)
+            combined = (hi << jnp.int64(32)) + lo
+            if agg.kind == "sum":
+                return RelColumn(combined, DataType(TypeId.DECIMAL, t.dtype.scale)
+                                 if t.dtype.id == TypeId.DECIMAL else INT64,
+                                 None, valid=out_valid)
+            scale = 10.0 ** t.dtype.scale if t.dtype.id == TypeId.DECIMAL else 1.0
+            avg = (hi.astype(jnp.float64) * (2.0**32) + lo.astype(jnp.float64)) \
+                / jnp.maximum(nonnull, 1).astype(jnp.float64) / scale
+            return RelColumn(avg, DOUBLE, None, valid=out_valid)
+        if agg.kind in ("sum", "avg", "sum_double"):
+            v = jnp.where(avalid_sorted, v_sorted.astype(jnp.float64)
+                          if t.dtype.id != TypeId.DOUBLE else v_sorted, 0.0)
+            if t.dtype.id == TypeId.DECIMAL:
+                v = v / (10.0 ** t.dtype.scale)
+            csum = jnp.cumsum(v)
+            s = kernels._segment_sum_from_cumsum(csum, start, end)
+            if agg.kind == "avg":
+                s = s / jnp.maximum(nonnull, 1).astype(jnp.float64)
+            return RelColumn(s, DOUBLE, None, valid=out_valid)
+        if agg.kind == "min":
+            r = kernels.segment_minmax(gids, t.array, avalid, num_groups,
+                                       jnp.int64(2**62), want_max=False)
+            return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
+        if agg.kind == "max":
+            r = kernels.segment_minmax(gids, t.array, avalid, num_groups,
+                                       jnp.int64(-(2**62)), want_max=True)
+            return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
+        raise ValueError(agg.kind)
+
+    def _dense_key_columns(self, rel, num_groups):
+        out_cols: dict[str, RelColumn] = {}
+        sizes = []
+        for k in self.keys:
+            c = rel.columns[k]
+            if c.dtype.id == TypeId.VARCHAR:
+                sizes.append(len(c.dictionary))
+            elif c.dtype.id == TypeId.CHAR1 and c.domain is not None:
+                sizes.append(len(c.domain))
+            else:
+                sizes.append(256)
+        gcodes = jnp.arange(num_groups, dtype=jnp.int32)
+        rem = gcodes
+        for k, size in reversed(list(zip(self.keys, sizes))):
+            c = rel.columns[k]
+            kv = rem % size
+            rem = rem // size
+            if c.dtype.id == TypeId.CHAR1 and c.domain is not None:
+                kv = jnp.asarray(c.domain)[kv]
+            out_cols[k] = RelColumn(
+                kv.astype(np.int32 if c.dtype.id == TypeId.VARCHAR
+                          else jnp.uint8),
+                c.dtype, c.dictionary, c.domain)
+        return dict(reversed(list(out_cols.items())))
 
     def _one_agg(self, agg, evaluated, gids, valid, num_groups, counts):
         if agg.kind == "count" and agg.expr is None:

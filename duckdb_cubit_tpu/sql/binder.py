@@ -327,6 +327,11 @@ class Binder:
 
     # ------------------------------------------------------------ entry
     def bind(self, stmt: A.SelectStmt) -> P.PhysicalOperator:
+        # gensym names are deterministic per statement so the same SQL text
+        # always binds to the same plan signature — load-bearing for the
+        # executor's compiled-plan cache (a drifting counter re-keys the jit
+        # on every call and forces a compile-cache round trip per query)
+        self._gen_counter = 0
         return self._bind_select(stmt, None).plan
 
     def bind_sql(self, sql: str) -> P.PhysicalOperator:

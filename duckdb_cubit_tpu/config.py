@@ -26,6 +26,9 @@ class EngineConfig:
     # distributed execution
     exchange_quota_slack: float = 2.0   # per-destination quota = slack * mean
     mesh_axis: str = "d"
+    # staged execution: compile one program per pipeline, compact relations
+    # at stage boundaries (default); False = single whole-plan XLA program
+    staged_execution: bool = True
     # verification / debugging (analog of PRAGMA enable_verification)
     enable_verification: bool = False   # run eager + compiled, compare
     profile: bool = False

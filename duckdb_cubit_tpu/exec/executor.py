@@ -63,19 +63,36 @@ def build_pipelines(root: PhysicalOperator) -> list[Pipeline]:
     return pipelines
 
 
-class Executor:
-    """Drives plans either eagerly (profiling mode) or as one compiled XLA
-    program per plan signature (the production path: a full query is a
-    handful of device dispatches regardless of operator count).
+def bucket_count(n: int, minimum: int = 1 << 13) -> int:
+    """Round a cardinality up to a power of two (>= one row-pad block).
 
-    Latency discipline: the compiled path performs NO device->host transfer.
-    Shape planning uses host-side index cardinalities, runtime checks ride
-    along as deferred device scalars verified at result materialization, and
-    prepared decisions are cached per (plan signature, table versions) — a
-    repeated query is exactly one async device dispatch.  (On remote-attached
-    TPUs a single synchronous D2H drops the runtime out of its latency-hiding
-    fast path for the life of the process, so this is load-bearing, not just
-    nice-to-have.)
+    Stage-boundary relations are compacted into these geometric buckets so
+    compiled stage programs repeat across queries and scale factors — the
+    shape analog of the reference's radix-bit buckets
+    (radix_partitioning.hpp:26)."""
+    p = minimum
+    while p < n:
+        p <<= 1
+    return p
+
+
+class Executor:
+    """Drives plans in one of three modes: eagerly (profiling mode), as a
+    single whole-plan XLA program (PreparedQuery's zero-D2H hot path), or —
+    the default for ad-hoc SQL — STAGED: one compiled program per pipeline
+    (reference MetaPipeline analog), with relations materialized at stage
+    boundaries, compacted to their true cardinality (bucketed powers of two)
+    before flowing into the next stage.
+
+    Staging trades one tiny device->host scalar read per pipeline breaker
+    for: (a) join/aggregate/sort work sized by ACTUAL cardinalities instead
+    of base-table capacities (the reference's sized hash tables,
+    join_hashtable.cpp:1312), (b) bounded XLA program sizes — compile time
+    scales with the largest pipeline, not the whole 20-operator DAG — and
+    (c) recoverable capacity checks: an expansion-capacity undershoot
+    doubles the operator's capacity and retries just that stage (the analog
+    of SetRepartitionRadixBits, join_hashtable.cpp:1370) instead of
+    fail-stopping at materialization.
     """
 
     # bounded LRU plan caches (class-level so sessions share compilations;
@@ -118,6 +135,8 @@ class Executor:
             return self._execute_verified(plan)
         if not compiled:
             return self._execute_eager(plan, profiler)
+        if self.config is None or self.config.staged_execution:
+            return self._execute_staged(plan)
         return self._execute_compiled(plan)
 
     def _execute_eager(self, plan, profiler=None):
@@ -151,19 +170,9 @@ class Executor:
         jitted, arrays, meta_box = self.compile_plan(plan)
         return self._run_compiled(jitted, arrays, meta_box)
 
-    def compile_plan(self, plan: PhysicalOperator):
-        """Resolve shape decisions + compile; returns (jitted, arrays, meta).
-
-        The analog of the reference's CreatePreparedStatementInternal
-        (client_context.cpp:311): everything up to, but not including, the
-        device dispatch.  Callers holding the triple can re-execute with a
-        single dispatch (PreparedQuery)."""
-        import jax
-
-        from ..plan.physical import GroupAggregate, HashJoin, TableScan
-
-        # Phase A: shape planning — cached per (plan, table versions) so a
-        # repeated query skips even the host-side decision pass
+    def _prepare(self, plan: PhysicalOperator):
+        """Phase A: host-side shape planning — cached per (plan signature,
+        table versions) so a repeated query skips even the decision pass."""
         ops = list(plan.walk())
         key0 = (plan.signature(), self._catalog_version())
         prep = Executor._prepare_cache.get(key0)
@@ -179,11 +188,15 @@ class Executor:
                 for a, v in attrs.items():
                     setattr(op, a, v)
 
-        # assemble flat device inputs from every scan / PK-join
-        spec = []     # (op, kind, name)
+    def _collect_inputs(self, ops):
+        """Flat device inputs (base columns, bitmap words, PK LUTs) for the
+        given operators -> (spec, arrays), spec = [(op, kind, name)]."""
+        from ..plan.physical import GroupAggregate, HashJoin, TableScan
+
+        spec = []
         arrays = []
         seen_ops = set()
-        for op in plan.walk():
+        for op in ops:
             if id(op) in seen_ops:
                 continue
             seen_ops.add(id(op))
@@ -210,6 +223,19 @@ class Executor:
                 pk_table, pk_col, _, _ = op._fk_dense
                 spec.append((op, "pk_lut", None))
                 arrays.append(self.catalog.table(pk_table).pk_indexes[pk_col].lut)
+        return spec, arrays
+
+    def compile_plan(self, plan: PhysicalOperator):
+        """Resolve shape decisions + compile; returns (jitted, arrays, meta).
+
+        The analog of the reference's CreatePreparedStatementInternal
+        (client_context.cpp:311): everything up to, but not including, the
+        device dispatch.  Callers holding the triple can re-execute with a
+        single dispatch (PreparedQuery)."""
+        import jax
+
+        self._prepare(plan)
+        spec, arrays = self._collect_inputs(plan.walk())
 
         sig = (plan.signature(), self._catalog_version(),
                tuple((a.shape, str(a.dtype)) for a in arrays))
@@ -235,7 +261,7 @@ class Executor:
                         slot["pk_lut"] = arr
                 rel = plan_ref.execute(ctx)
                 meta_box["names"] = list(rel.columns.keys())
-                meta_box["meta"] = [(c.dtype, c.dictionary)
+                meta_box["meta"] = [(c.dtype, c.dictionary, c.domain)
                                     for c in rel.columns.values()]
                 meta_box["capacity"] = rel.capacity
                 out = tuple(c.array for c in rel.columns.values())
@@ -252,10 +278,280 @@ class Executor:
         jitted, meta_box = entry
         return jitted, arrays, meta_box
 
+    # -------------------------------------------------------- staged path
+    def _execute_staged(self, plan: PhysicalOperator):
+        """One compiled program per pipeline; see class docstring."""
+        self._prepare(plan)
+        rel = self._run_stage(plan, keep_aligned=False)
+        rel.checks = []
+        return rel
+
+    def _needs_alignment(self, parent, i) -> bool:
+        """Whether child i's output rows must stay positionally aligned to a
+        base table (direct-address index paths gather/scatter by base row)."""
+        from ..plan.physical import HashJoin
+        if isinstance(parent, HashJoin):
+            if i == 1 and getattr(parent, "_pk", None) is not None:
+                return True
+            if i == 0 and getattr(parent, "_reverse_pk", None) is not None:
+                return True
+        return False
+
+    def _on_spine(self, parent, i) -> bool:
+        """Whether parent's output row space IS child i's row space (the
+        mask-preserving chain static_base_table() traverses)."""
+        from ..plan.physical import (BroadcastScalar, Filter, HashJoin, Limit,
+                                     MarkJoin, Project, Window)
+        if isinstance(parent, (Filter, Project, Limit, Window,
+                               BroadcastScalar, MarkJoin)):
+            return i == 0
+        if isinstance(parent, HashJoin):
+            return i == 0 and (
+                parent.join_type in ("semi", "anti")
+                or (parent.single_match
+                    and not getattr(parent, "_force_expand", False)))
+        return False
+
+    def _subtree_selective(self, op) -> bool:
+        """Host heuristic: is this subtree's cardinality likely below its
+        capacity (worth a compaction boundary before a join consumes it)?"""
+        from ..plan.physical import Filter, TableScan
+        for o in op.walk():
+            if isinstance(o, Filter):
+                return True
+            if isinstance(o, TableScan) and (o.filters or o.index_filters):
+                return True
+            if o.is_pipeline_breaker():
+                return True
+        return False
+
+    def _find_boundaries(self, root, keep_aligned: bool):
+        """Stage inputs: every pipeline-breaker descendant, plus join inputs
+        whose subtree is selective (those get compacted to true cardinality
+        so the join's expansion capacity tracks real row counts, the staged
+        analog of the reference's sized hash tables).  `compactable=False`
+        marks inputs that must stay base-aligned for a direct-address path."""
+        from ..plan.physical import HashJoin, MarkJoin, RangeJoin
+        bounds: list = []    # [(child_op, compactable)]
+        bindex: dict = {}    # id(child_op) -> input slot
+        def add(c, compactable):
+            if id(c) in bindex:
+                i = bindex[id(c)]
+                bounds[i] = (c, bounds[i][1] and compactable)
+            else:
+                bindex[id(c)] = len(bounds)
+                bounds.append((c, compactable))
+        def walk(o, spine_aligned):
+            for i, c in enumerate(o.children):
+                aligned = (self._needs_alignment(o, i)
+                           or (spine_aligned and self._on_spine(o, i)))
+                if c.is_pipeline_breaker():
+                    add(c, not aligned)
+                elif (not aligned
+                      and isinstance(o, (HashJoin, RangeJoin, MarkJoin))
+                      and self._subtree_selective(c)):
+                    add(c, True)
+                else:
+                    walk(c, aligned)
+        walk(root, keep_aligned)
+        return bounds, bindex
+
+    def _stage_ops(self, root, bindex):
+        """Preorder operators of the stage rooted at `root`, cut at inputs."""
+        out = []
+        def walk(o):
+            out.append(o)
+            for c in o.children:
+                if id(c) not in bindex:
+                    walk(c)
+        walk(root)
+        return out
+
+    def _stage_signature(self, op, bindex) -> str:
+        if id(op) in bindex:
+            return f"$in{bindex[id(op)]}"
+        childs = ",".join(self._stage_signature(c, bindex)
+                          for c in op.children)
+        return f"{op._self_signature()}({childs})"
+
+    def _run_stage(self, op, keep_aligned: bool = False):
+        bounds, bindex = self._find_boundaries(op, keep_aligned)
+        brels = []
+        for c, compactable in bounds:
+            r = self._run_stage(c, keep_aligned=not compactable)
+            if compactable:
+                r = self._compact_relation(r)
+            brels.append(r)
+        failed: list = []
+        for _attempt in range(9):
+            jitted, arrays, meta_box = self._compile_stage(
+                op, bounds, bindex, brels)
+            rel = self._run_compiled(jitted, arrays, meta_box)
+            failed = [n for n, ok in rel.checks if not bool(ok)]
+            if not failed:
+                rel.checks = []
+                return rel
+            stage_ops = self._stage_ops(op, bindex)
+            if not self._handle_failed_checks(failed, stage_ops):
+                raise RuntimeError(f"runtime check failed: {failed}")
+            # host decisions can shift (single-match -> expansion fallback
+            # changes ancestor PK-join eligibility): re-resolve the plan
+            self._prepare(self.plan)
+        raise RuntimeError(f"capacity retry limit exceeded: {failed}")
+
+    def _handle_failed_checks(self, failed, stage_ops) -> bool:
+        """Recoverable-check handler: doubles expansion capacities / falls
+        back from single-match to expansion joins.  Returns False when any
+        failure is non-recoverable (caller raises)."""
+        changed = False
+        for name in failed:
+            parts = name.split("#")
+            if len(parts) != 3:
+                return False
+            kind, tag, cap = parts[0], int(parts[1]), int(parts[2])
+            if not 0 <= tag < len(stage_ops):
+                return False
+            target = stage_ops[tag]
+            if kind == "expansion":
+                new_cap = max(cap * 2, 1 << 13)
+                if new_cap > (1 << 28):
+                    return False
+                target._cap_override = new_cap
+                changed = True
+            elif kind == "unique":
+                target._force_expand = True
+                changed = True
+            else:
+                return False
+        return changed
+
+    _compact_cache: dict = {}
+
+    def _compact_relation(self, rel):
+        """Materialize the true cardinality (one scalar D2H) and gather the
+        relation into a power-of-two bucket — the sel-vector compaction of
+        the reference's index-scan fetch (table_scan.cpp:251) applied at
+        every pipeline boundary."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import kernels
+        from ..plan.physical import RelColumn, Relation
+
+        count = int(jax.device_get(jnp.sum(rel.mask)))
+        cap = bucket_count(count)
+        if cap >= rel.capacity:
+            return rel
+        names = list(rel.columns.keys())
+        cols = [rel.columns[n] for n in names]
+        key = (rel.capacity, cap,
+               tuple(str(c.array.dtype) for c in cols),
+               tuple(c.valid is not None for c in cols))
+        fn = Executor._compact_cache.get(key)
+        if fn is None:
+            def compact(mask, arrays, valids):
+                idx, cnt = kernels.mask_to_indices(mask, cap)
+                valid = jnp.arange(cap) < cnt
+                safe = jnp.minimum(idx, mask.shape[0] - 1)
+                outs = [jnp.take(a, safe, axis=0) for a in arrays]
+                vouts = [None if v is None else jnp.take(v, safe, axis=0)
+                         for v in valids]
+                return outs, vouts, valid
+            fn = jax.jit(compact)
+            Executor._compact_cache[key] = fn
+        outs, vouts, valid = fn(rel.mask, [c.array for c in cols],
+                                [c.valid for c in cols])
+        new_cols = {n: RelColumn(a, c.dtype, c.dictionary, c.domain, v)
+                    for n, c, a, v in zip(names, cols, outs, vouts)}
+        return Relation(new_cols, valid, cap)
+
+    def _compile_stage(self, root, bounds, bindex, brels):
+        import jax
+
+        from ..plan.physical import RelColumn, Relation
+
+        stage_ops = self._stage_ops(root, bindex)
+        spec, arrays = self._collect_inputs(stage_ops)
+        bmeta = []   # per boundary: (names, [(dtype, dict, domain, has_valid)], cap)
+        for (c, _), r in zip(bounds, brels):
+            names = list(r.columns.keys())
+            cols = [r.columns[n] for n in names]
+            bmeta.append((names,
+                          [(col.dtype, col.dictionary, col.domain,
+                            col.valid is not None) for col in cols],
+                          r.capacity))
+            arrays.append(r.mask)
+            for col in cols:
+                arrays.append(col.array)
+                if col.valid is not None:
+                    arrays.append(col.valid)
+        bkey = tuple((tuple(names),
+                      tuple((str(m[0]), m[3]) for m in metas), cap)
+                     for names, metas, cap in bmeta)
+        sig = ("stage", self._stage_signature(root, bindex),
+               self._catalog_version(), bkey,
+               tuple((a.shape, str(a.dtype)) for a in arrays))
+        entry = Executor._compiled_cache.get(sig)
+        if entry is None:
+            meta_box = {}
+            spec_shapes = [(s[0], s[1], s[2]) for s in spec]
+            bound_ops = [c for c, _ in bounds]
+            root_ref = root
+            tags = {id(o): i for i, o in enumerate(stage_ops)}
+
+            def traced(args):
+                ctx = ExecContext(self.catalog, self.config, None, traced=True)
+                ctx.check_tags = tags
+                pos = 0
+                for op, kind, name in spec_shapes:
+                    arr = args[pos]
+                    pos += 1
+                    slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
+                    if kind == "col":
+                        slot["cols"][name] = arr
+                    elif kind == "words":
+                        slot["words"] = arr
+                    elif kind == "mask8":
+                        slot["mask8"] = arr
+                    elif kind == "deleted":
+                        slot["deleted"] = arr
+                    else:
+                        slot["pk_lut"] = arr
+                for c, (names, metas, cap) in zip(bound_ops, bmeta):
+                    mask = args[pos]
+                    pos += 1
+                    cols = {}
+                    for n, (dt, dic, dom, has_valid) in zip(names, metas):
+                        arr = args[pos]
+                        pos += 1
+                        v = None
+                        if has_valid:
+                            v = args[pos]
+                            pos += 1
+                        cols[n] = RelColumn(arr, dt, dic, dom, v)
+                    ctx._cache[id(c)] = Relation(cols, mask, cap)
+                rel = root_ref.execute(ctx)
+                meta_box["names"] = list(rel.columns.keys())
+                meta_box["meta"] = [(col.dtype, col.dictionary, col.domain)
+                                    for col in rel.columns.values()]
+                meta_box["capacity"] = rel.capacity
+                out = tuple(col.array for col in rel.columns.values())
+                valids = tuple(col.valid for col in rel.columns.values())
+                checks = tuple(c for _, c in ctx.checks)
+                meta_box["check_names"] = [n for n, _ in ctx.checks]
+                return out, valids, rel.mask, checks
+
+            jitted = jax.jit(traced)
+            entry = (jitted, meta_box)
+            Executor._cache_put(Executor._compiled_cache, sig, entry)
+        jitted, meta_box = entry
+        return jitted, arrays, meta_box
+
     def _run_compiled(self, jitted, arrays, meta_box):
         out, valids, mask, checks = jitted(arrays)
         from ..plan.physical import RelColumn, Relation
-        cols = {n: RelColumn(a, dt, d, valid=v) for n, a, v, (dt, d) in
+        cols = {n: RelColumn(a, dt, d, dom, valid=v)
+                for n, a, v, (dt, d, dom) in
                 zip(meta_box["names"], out, valids, meta_box["meta"])}
         rel = Relation(cols, mask, meta_box["capacity"])
         # runtime assertions (capacity overflow guards) stay device scalars;

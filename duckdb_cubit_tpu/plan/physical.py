@@ -92,7 +92,19 @@ class ExecContext:
         self.scan_inputs: dict[int, dict] = {}
         # traced runtime assertions (name, scalar) verified host-side after run
         self.checks: list[tuple[str, Any]] = []
+        # staged execution: id(op) -> stable tag so a failed capacity check
+        # maps back to the operator to regrow (executor._handle_failed_checks)
+        self.check_tags: dict[int, int] = {}
         self._cache: dict[int, Relation] = {}
+
+    def add_check(self, op, kind: str, ok, cap: int = 0):
+        """Attach a deferred runtime assertion.  `kind` in {"expansion",
+        "unique"} is recoverable: the staged executor doubles the operator's
+        capacity (or falls back from the single-match to the expansion join)
+        and retries the stage — the analog of the reference regrowing /
+        repartitioning a too-small hash table (join_hashtable.cpp:1370)."""
+        tag = self.check_tags.get(id(op), -1)
+        self.checks.append((f"{kind}#{tag}#{int(cap)}", ok))
 
 
 class PhysicalOperator:
@@ -170,7 +182,8 @@ def static_base_table(op: PhysicalOperator) -> str | None:
     if isinstance(op, Project):
         return static_base_table(op.children[0])
     if isinstance(op, HashJoin):
-        if op.join_type in ("semi", "anti") or op.single_match:
+        if op.join_type in ("semi", "anti") or (
+                op.single_match and not getattr(op, "_force_expand", False)):
             return static_base_table(op.children[0])
     if isinstance(op, (MarkJoin, BroadcastScalar, Window)):
         # mask-preserving: output rows stay aligned to the probe/child rows
@@ -577,7 +590,7 @@ class HashJoin(PhysicalOperator):
             m = join_ops.semi_mask(bs, pkey, probe_rel.mask,
                                    anti=self.join_type == "anti")
             return probe_rel.with_mask(m)
-        if self.single_match:
+        if self.single_match and not getattr(self, "_force_expand", False):
             entry = join_ops.probe(bs, pkey, probe_rel.mask)
             found = entry >= 0
             safe_e = jnp.maximum(entry, 0)
@@ -586,7 +599,7 @@ class HashJoin(PhysicalOperator):
             # otherwise inner drops matches / left dups silently (the
             # reference expands chains instead, join_hashtable.cpp:768)
             unique_ok = jnp.all(jnp.where(found, bs.counts[safe_e] <= 1, True))
-            ctx.checks.append(("single_match_build_unique", unique_ok))
+            ctx.add_check(self, "unique", unique_ok)
             if len(self.probe_keys) > 2:
                 probe_rows = jnp.arange(probe_rel.capacity, dtype=jnp.int32)
                 found = self._exact_eq(probe_rel, build_rel, probe_rows,
@@ -596,11 +609,12 @@ class HashJoin(PhysicalOperator):
 
     def _semi_exact(self, ctx, probe_rel, build_rel, bs, pkey):
         """Exact semi-join hit mask for hash-combined (3+ column) keys."""
-        cap = self.out_capacity or pad_count(probe_rel.capacity)
+        cap = (getattr(self, "_cap_override", None) or self.out_capacity
+               or pad_count(probe_rel.capacity))
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
         out_probe, out_build, total = join_ops.expand_matches(
             bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
-        ctx.checks.append((f"semi_expansion<= {cap}", total <= cap))
+        ctx.add_check(self, "expansion", total <= cap, cap)
         valid = (jnp.arange(cap) < total) & (out_probe >= 0)
         eq = self._exact_eq(probe_rel, build_rel, out_probe, out_build, valid)
         tgt = jnp.where(eq, jnp.maximum(out_probe, 0), probe_rel.capacity)
@@ -633,18 +647,19 @@ class HashJoin(PhysicalOperator):
     def _expand(self, ctx, probe_rel, build_rel, bs, pkey):
         left = self.join_type == "left"
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
-        cap = self.out_capacity
+        cap = getattr(self, "_cap_override", None) or self.out_capacity
         if cap is None:
             # cardinality guess from the session config (reference analog:
             # statistics-fed build-size estimates, join_hashtable.cpp:1312);
-            # the deferred check below catches an undershoot at runtime
+            # the deferred check below catches an undershoot at runtime and
+            # the staged executor regrows + retries
             factor = (ctx.config.join_expansion_factor
                       if ctx.config is not None else 1.0)
             cap = pad_count(int(probe_rel.capacity * factor))
         out_probe, out_build, total = join_ops.expand_matches(
             bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap,
             left=left)
-        ctx.checks.append((f"join_expansion<= {cap}", total <= cap))
+        ctx.add_check(self, "expansion", total <= cap, cap)
         valid = jnp.arange(cap) < total
         matched = out_build >= 0
         if len(self.probe_keys) > 2:
@@ -681,7 +696,9 @@ class HashJoin(PhysicalOperator):
                 f"{self.single_match};{self.out_capacity};{self.build_prefix};"
                 f"fc={self.found_column};"
                 f"pk={getattr(self, '_pk', None)};"
-                f"rpk={getattr(self, '_reverse_pk', None)}]")
+                f"rpk={getattr(self, '_reverse_pk', None)};"
+                f"ov={getattr(self, '_cap_override', None)};"
+                f"fe={getattr(self, '_force_expand', False)}]")
 
 
 def _cmp_arrays(a, op: str, b):
@@ -784,7 +801,7 @@ class RangeJoin(PhysicalOperator):
         build_rel = self.children[1].execute(ctx)
         left = self.join_type == "left"
         start, count, order = self._ranges(probe_rel, build_rel)
-        cap = self.out_capacity
+        cap = getattr(self, "_cap_override", None) or self.out_capacity
         if cap is None:
             factor = (ctx.config.join_expansion_factor
                       if ctx.config is not None else 1.0)
@@ -794,7 +811,7 @@ class RangeJoin(PhysicalOperator):
                           -1)
         out_probe, out_build, total = join_ops.expand_matches(
             start, count, order, entry, probe_rel.mask, cap, left=left)
-        ctx.checks.append((f"range_join_expansion<= {cap}", total <= cap))
+        ctx.add_check(self, "expansion", total <= cap, cap)
         valid = jnp.arange(cap) < total
         matched = out_build >= 0
         # residual conditions re-checked on the expanded pairs
@@ -847,7 +864,7 @@ class RangeJoin(PhysicalOperator):
     def _self_signature(self):
         conds = ";".join(f"{p!r}{op}{b!r}" for p, op, b in self.conditions)
         return (f"range_join[{self.join_type};{conds};{self.out_capacity};"
-                f"{self.build_prefix}]")
+                f"{self.build_prefix};ov={getattr(self, '_cap_override', None)}]")
 
 
 @dataclasses.dataclass
@@ -1574,14 +1591,14 @@ class MarkJoin(PhysicalOperator):
         pkey = _combine_keys(ctx, probe_rel, self.probe_keys)
         bs = join_ops.build(bkey, build_rel.mask)
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
-        cap = self.out_capacity
+        cap = getattr(self, "_cap_override", None) or self.out_capacity
         if cap is None:
             factor = (ctx.config.join_expansion_factor
                       if ctx.config is not None else 1.0)
             cap = pad_count(int(probe_rel.capacity * factor))
         out_probe, out_build, total = join_ops.expand_matches(
             bs.starts, bs.counts, bs.sorted_rows, entry, probe_rel.mask, cap)
-        ctx.checks.append((f"mark_expansion<= {cap}", total <= cap))
+        ctx.add_check(self, "expansion", total <= cap, cap)
         ok = (jnp.arange(cap) < total) & (out_probe >= 0)
         if len(self.probe_keys) > 2:
             ok = _exact_key_eq(probe_rel, build_rel, self.probe_keys,
@@ -1623,7 +1640,8 @@ class MarkJoin(PhysicalOperator):
     def _self_signature(self):
         return (f"mark_join[{self.probe_keys};{self.build_keys};"
                 f"{self.residual!r};neg={self.negated};{self.out_capacity};"
-                f"{self.build_prefix};mc={self.mark_column}]")
+                f"{self.build_prefix};mc={self.mark_column};"
+                f"ov={getattr(self, '_cap_override', None)}]")
 
     def describe(self):
         kind = "not_exists" if self.negated else "exists"

@@ -128,17 +128,35 @@ def test_three_key_joins_exact():
     assert got == [(100, 7), (300, 8), (400, 8)]
 
 
-def test_single_match_uniqueness_check_fires():
+def test_single_match_uniqueness_check_recovers_or_fires():
+    """A single_match join over a NON-unique build side must never return
+    silently wrong rows.  The staged executor detects the violated
+    uniqueness check and falls back to the expansion join (the analog of
+    the reference regrowing a too-small hash table, join_hashtable.cpp:1370);
+    the whole-plan compiled path (PreparedQuery) still fail-stops."""
+    from duckdb_cubit_tpu.config import EngineConfig
     from duckdb_cubit_tpu.storage.table import Catalog, from_numpy
 
-    cat = Catalog()
-    cat.register(from_numpy("p", {"k": np.array([1, 2], np.int64)}))
-    cat.register(from_numpy("b", {"k": np.array([1, 1, 2], np.int64),
-                                  "v": np.array([5, 6, 7], np.int64)}))
-    plan = P.HashJoin(P.TableScan("p"), P.TableScan("b"), ["k"], ["k"],
-                      "left", single_match=True, build_prefix="b_")
-    with pytest.raises(RuntimeError, match="single_match_build_unique"):
-        _exec(cat, plan)
+    def cat():
+        c = Catalog()
+        c.register(from_numpy("p", {"k": np.array([1, 2], np.int64)}))
+        c.register(from_numpy("b", {"k": np.array([1, 1, 2], np.int64),
+                                    "v": np.array([5, 6, 7], np.int64)}))
+        return c
+
+    def plan():
+        return P.HashJoin(P.TableScan("p"), P.TableScan("b"), ["k"], ["k"],
+                          "left", single_match=True, build_prefix="b_")
+
+    # staged (default): recovers, result is the correct expanded join
+    rows = _exec(cat(), plan())
+    got = sorted((int(r[0]), int(r[2])) for r in rows)
+    assert got == [(1, 5), (1, 6), (2, 7)]
+
+    # whole-plan compiled path: deferred check fail-stops at materialization
+    cfg = EngineConfig(staged_execution=False)
+    with pytest.raises(RuntimeError, match="unique"):
+        _exec(cat(), plan(), cfg)
 
 
 def test_statistics_propagation_prunes_filters(conn):

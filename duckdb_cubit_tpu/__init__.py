@@ -35,6 +35,10 @@ _cache_dir = os.environ.get(
     "DUCKDB_CUBIT_TPU_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "duckdb_cubit_tpu", "xla"))
 try:
+    # key by platform: AOT artifacts are NOT portable across backends (a CPU
+    # run reusing a TPU host's entries spams cpu_aot_loader feature-mismatch
+    # warnings and can mask real failures)
+    _cache_dir = os.path.join(_cache_dir, jax.default_backend())
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -482,3 +482,175 @@ class Case(Expr):
         oa = _rescale(o, s).array if os_ != s else o.array
         dt = DataType(TypeId.DECIMAL, s) if s else t.dtype
         return Typed(jnp.where(c, ta, oa), dt, None, v)
+
+
+def _civil_from_days(days):
+    """days-since-epoch -> (year, month, day), Hinnant's algorithm
+    (vectorized integer ops; same math as the reference's date_part,
+    src/common/types/date.cpp)."""
+    z = days.astype(jnp.int64) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = jnp.floor_divide(
+        doe - jnp.floor_divide(doe, 1460) + jnp.floor_divide(doe, 36524)
+        - jnp.floor_divide(doe, 146096), 365)
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + jnp.floor_divide(yoe, 4)
+                 - jnp.floor_divide(yoe, 100))
+    mp = jnp.floor_divide(5 * doy + 2, 153)
+    d = doy - jnp.floor_divide(153 * mp + 2, 5) + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    y = y + (m <= 2)
+    return y, m, d
+
+
+@dataclasses.dataclass(eq=False)
+class ExtractField(Expr):
+    """extract(year|month|day FROM date) / date_part equivalents."""
+    field: str
+    child: Expr
+
+    def eval(self, ctx):
+        ct = self.child.eval(ctx)
+        assert ct.dtype.id == TypeId.DATE
+        y, m, d = _civil_from_days(ct.array)
+        out = {"year": y, "month": m, "day": d}[self.field]
+        return Typed(out.astype(jnp.int64), INT64, None, ct.valid)
+
+
+def _dict_strs(d) -> list[str]:
+    """Dictionary entries as python str (dictionaries are stored as |S)."""
+    return [s.decode("utf-8", "replace") if isinstance(s, bytes) else str(s)
+            for s in d]
+
+
+@dataclasses.dataclass(eq=False)
+class StrMap(Expr):
+    """Per-dictionary-entry string transform (upper/lower/trim/ltrim/rtrim).
+
+    The device work is one int32 gather through a host-computed code remap —
+    the dictionary analog of the reference's per-value string kernels
+    (src/core_functions/scalar/string/)."""
+    child: Expr
+    op: str
+
+    _FNS = {"upper": str.upper, "lower": str.lower, "trim": str.strip,
+            "ltrim": str.lstrip, "rtrim": str.rstrip}
+
+    def eval(self, ctx):
+        ct = self.child.eval(ctx)
+        if ct.dtype.id == TypeId.CHAR1:
+            # 256-entry byte LUT
+            fn = self._FNS[self.op]
+            lut = np.arange(256, dtype=np.int32)
+            for b in range(256):
+                s = fn(chr(b))
+                lut[b] = ord(s) if len(s) == 1 else (0 if not s else b)
+            codes = jnp.asarray(lut)[ct.array.astype(jnp.int32)]
+            return Typed(codes.astype(ct.array.dtype), ct.dtype, None,
+                         ct.valid)
+        assert ct.dtype.id == TypeId.VARCHAR and ct.dictionary is not None, \
+            f"{self.op}() needs a dictionary-encoded varchar"
+        fn = self._FNS[self.op]
+        mapped = np.array([fn(s) for s in _dict_strs(ct.dictionary)],
+                          dtype="S")
+        new_dict, remap = np.unique(mapped, return_inverse=True)
+        codes = jnp.asarray(remap.astype(np.int32))[ct.array]
+        return Typed(codes, VARCHAR, new_dict, ct.valid)
+
+
+@dataclasses.dataclass(eq=False)
+class StrLen(Expr):
+    """length(varchar) via a per-code length table."""
+    child: Expr
+
+    def eval(self, ctx):
+        ct = self.child.eval(ctx)
+        if ct.dtype.id == TypeId.CHAR1:
+            return Typed(jnp.ones_like(ct.array, dtype=jnp.int64), INT64,
+                         None, ct.valid)
+        assert ct.dtype.id == TypeId.VARCHAR and ct.dictionary is not None
+        lens = np.array([len(s) for s in _dict_strs(ct.dictionary)],
+                        np.int64)
+        return Typed(jnp.asarray(lens)[ct.array], INT64, None, ct.valid)
+
+
+@dataclasses.dataclass(eq=False)
+class Concat(Expr):
+    """string concatenation (a || b): trace-time dictionary product.
+
+    Guarded by a dictionary-size budget — the combined dictionary is
+    |d1|*|d2| entries in the worst case (literals and CHAR1 domains stay
+    tiny)."""
+    left: Expr
+    right: Expr
+    MAX_DICT = 1 << 20
+
+    def eval(self, ctx):
+        lt, rt = self.left.eval(ctx), self.right.eval(ctx)
+        # string literals arrive as Typed with a python scalar in .array
+        ld, lc = self._as_literal_or_col(lt)
+        rd, rc = self._as_literal_or_col(rt)
+        if len(ld) * len(rd) > self.MAX_DICT:
+            raise AssertionError("concat dictionary blow-up")
+        pairs = np.array([a + b for a in ld for b in rd], dtype="S")
+        new_dict, remap = np.unique(pairs, return_inverse=True)
+        remap = remap.reshape(len(ld), len(rd)).astype(np.int32)
+        if lc is None and rc is None:
+            return Typed(jnp.asarray(remap[0, 0]), VARCHAR, new_dict, None)
+        if lc is None:
+            codes = jnp.asarray(remap[0])[rc]
+        elif rc is None:
+            codes = jnp.asarray(remap[:, 0])[lc]
+        else:
+            codes = jnp.asarray(remap)[lc, rc]
+        v = and_valid(lt.valid, rt.valid)
+        return Typed(codes, VARCHAR, new_dict, v)
+
+    @classmethod
+    def _as_literal_or_col(cls, t: Typed):
+        if t.dtype.id == TypeId.VARCHAR and t.dictionary is not None:
+            return _dict_strs(t.dictionary), t.array
+        if t.dtype.id == TypeId.CHAR1:
+            return [chr(b) for b in range(256)], t.array.astype(jnp.int32)
+        # literal: Lit("x") evaluates to a host string scalar
+        if isinstance(getattr(t, "array", None), str):
+            return [t.array], None
+        raise AssertionError("concat needs varchar/char operands")
+
+
+@dataclasses.dataclass(eq=False)
+class MathFn(Expr):
+    """sqrt/abs/floor/ceil/round(x[, digits]) — double-valued scalar math."""
+    op: str
+    child: Expr
+    digits: int = 0
+
+    def eval(self, ctx):
+        t = self.child.eval(ctx)
+        if self.op == "abs":
+            if t.dtype.id in (TypeId.INT32, TypeId.INT64, TypeId.DECIMAL):
+                return Typed(jnp.abs(t.array), t.dtype, None, t.valid)
+            return Typed(jnp.abs(_as_double(t)), DOUBLE, None, t.valid)
+        x = _as_double(t)
+        if self.op == "sqrt":
+            return Typed(jnp.sqrt(x), DOUBLE, None, t.valid)
+        if self.op == "floor":
+            return Typed(jnp.floor(x), DOUBLE, None, t.valid)
+        if self.op == "ceil":
+            return Typed(jnp.ceil(x), DOUBLE, None, t.valid)
+        if self.op == "round":
+            # decimal stays exact: rescale in int64 with half-up rounding
+            if t.dtype.id == TypeId.DECIMAL and self.digits <= t.dtype.scale:
+                drop = t.dtype.scale - self.digits
+                if drop == 0:
+                    return t
+                p = jnp.int64(10 ** drop)
+                a = t.array
+                half = jnp.where(a >= 0, p // 2, -(p // 2))
+                out = jnp.floor_divide(a + half, p)
+                return Typed(out, DataType(TypeId.DECIMAL, self.digits),
+                             None, t.valid)
+            f = 10.0 ** self.digits
+            return Typed(jnp.round(x * f) / f, DOUBLE, None, t.valid)
+        raise ValueError(self.op)

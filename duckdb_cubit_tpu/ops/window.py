@@ -1,104 +1,259 @@
 """Window function kernels.
 
 Analog of the reference's PhysicalWindow / WindowSegmentTree (reference
-src/execution/operator/aggregate/physical_window.cpp,
-window_segment_tree.cpp).  TPU design: one multi-key sort by
-(partition keys, order keys), then every frame primitive is a segmented
-prefix operation — cumulative sums with segment-start subtraction, rank via
-position arithmetic — finally scattered back to the input row order.  No
-segment trees: prefix sums over sorted runs give running frames in O(n).
+src/execution/operator/aggregate/physical_window.cpp:822,
+window_segment_tree.cpp).  TPU design: ONE multi-key sort by
+(partition keys, order keys) shared by every function over the same window,
+then every frame primitive is a segmented prefix operation — segmented
+scans via `lax.associative_scan` with reset flags, rank/peer arithmetic via
+positional cummax/cummin — finally scattered back to input row order.  No
+segment trees: prefix scans over sorted runs give running frames in O(n);
+the reference's default RANGE frame (current row + peers) is the rows
+prefix gathered at the row's LAST PEER position.
 """
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 
 
 def _sort_by(partition_keys, order_keys, valid):
-    n = partition_keys[0].shape[0] if partition_keys else order_keys[0].shape[0]
+    n = valid.shape[0]
     big = jnp.int64(2**62)
     keys = tuple(jnp.where(valid, k.astype(jnp.int64), big)
                  for k in (*partition_keys, *order_keys))
     rows = jnp.arange(n, dtype=jnp.int32)
+    if not keys:
+        # still push masked rows to the end so positional functions
+        # (row_number) count only live rows
+        keys = (jnp.where(valid, jnp.int64(0), big),)
+        out = jax.lax.sort(keys + (rows,), num_keys=1)
+        return (), (), out[-1]
     out = jax.lax.sort(keys + (rows,), num_keys=len(keys))
     return out[:len(partition_keys)], out[len(partition_keys):-1], out[-1]
 
 
-def _segment_starts(sorted_part_keys, n):
-    if not sorted_part_keys:
-        return jnp.zeros(n, jnp.bool_).at[0].set(True)
+def _change_flags(sorted_keys, n):
+    """True at positions whose key tuple differs from the previous row."""
     change = jnp.zeros(n, jnp.bool_).at[0].set(True)
-    for k in sorted_part_keys:
+    for k in sorted_keys:
         change = change | jnp.concatenate(
             [jnp.ones(1, jnp.bool_), k[1:] != k[:-1]])
     return change
 
 
-def _scatter_back(values_sorted, perm, n):
-    return jnp.zeros(n, values_sorted.dtype).at[perm].set(values_sorted)
+@dataclasses.dataclass
+class WindowCtx:
+    """Shared per-(partition, order) sort analysis.
+
+    perm      : input row index at each sorted position
+    starts    : partition-start flags (sorted order)
+    change    : peer-group-start flags (partition OR order key changed)
+    seg_start : position of this row's partition start
+    seg_end   : position of this row's partition end (inclusive)
+    last_peer : position of the last row of this row's peer group
+    seg_id    : dense partition id per sorted position
+    """
+    n: int
+    perm: jnp.ndarray
+    starts: jnp.ndarray
+    change: jnp.ndarray
+    seg_start: jnp.ndarray
+    seg_end: jnp.ndarray
+    last_peer: jnp.ndarray
+    seg_id: jnp.ndarray
+    valid_sorted: jnp.ndarray
+
+    def scatter_back(self, values_sorted):
+        return jnp.zeros(self.n, values_sorted.dtype).at[self.perm].set(
+            values_sorted)
+
+    def take(self, column_array):
+        return jnp.take(column_array, self.perm, axis=0)
 
 
-def row_number(partition_keys, order_keys, valid):
-    """ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...), 1-based."""
-    n = valid.shape[0]
-    spart, _, perm = _sort_by(partition_keys, order_keys, valid)
-    starts = _segment_starts(spart, n)
-    pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
-    rn = pos - seg_start + 1
-    return _scatter_back(rn, perm, n)
-
-
-def rank(partition_keys, order_keys, valid):
-    """RANK() with gaps (ties share the rank)."""
+def analyze(partition_keys, order_keys, valid) -> WindowCtx:
+    """Sort + boundary analysis shared by all functions of one window."""
     n = valid.shape[0]
     spart, sorder, perm = _sort_by(partition_keys, order_keys, valid)
-    starts = _segment_starts(spart, n)
-    order_change = jnp.zeros(n, jnp.bool_).at[0].set(True)
-    for k in sorder:
-        order_change = order_change | jnp.concatenate(
-            [jnp.ones(1, jnp.bool_), k[1:] != k[:-1]])
-    new_rank_pos = starts | order_change
+    if partition_keys:
+        starts = _change_flags(spart, n)
+    else:
+        starts = jnp.zeros(n, jnp.bool_).at[0].set(True)
+    change = starts | (_change_flags(sorder, n) if sorder
+                       else jnp.ones(n, jnp.bool_))
     pos = jnp.arange(n, dtype=jnp.int64)
     seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
-    last_change = jax.lax.cummax(jnp.where(new_rank_pos, pos, 0), axis=0)
-    r = last_change - seg_start + 1
-    return _scatter_back(r, perm, n)
+    # last position of a run: the next flag position minus one, found by a
+    # reversed cummin over "this is the final row of its run" markers
+    def last_of_run(flags):
+        boundary = jnp.concatenate([flags[1:], jnp.ones(1, jnp.bool_)])
+        rev = jnp.flip(jnp.where(boundary, pos, n))
+        return jnp.flip(jax.lax.cummin(rev, axis=0))
+    seg_end = last_of_run(starts)
+    last_peer = last_of_run(change)
+    seg_id = jnp.cumsum(starts.astype(jnp.int64)) - 1
+    return WindowCtx(n, perm, starts, change, seg_start, seg_end,
+                     last_peer, seg_id, jnp.take(valid, perm))
+
+
+def _seg_running_sum(ctx: WindowCtx, values):
+    """Segmented inclusive running sum via global cumsum minus the value
+    just before the segment start (cumsum is a fused TPU scan primitive;
+    lax.associative_scan unrolls log2(n) pad/slice levels that take minutes
+    to compile at SF1 shapes — same finding as ops/join.py expand_matches)."""
+    c = jnp.cumsum(values)
+    base_idx = jnp.maximum(ctx.seg_start - 1, 0)
+    base = jnp.where(ctx.seg_start > 0, jnp.take(c, base_idx), 0)
+    return c - base
+
+
+def _seg_running_idem(ctx: WindowCtx, values, op, ident):
+    """Segmented inclusive scan for IDEMPOTENT ops (min/max): Hillis-Steele
+    doubling with a segment-boundary guard — log2(n) fused elementwise
+    passes, no associative_scan."""
+    n = values.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int64)
+    v = values
+    shift = 1
+    while shift < n:
+        prev = jnp.concatenate(
+            [jnp.full(shift, ident, v.dtype), v[:-shift]])
+        ok = (pos - shift) >= ctx.seg_start
+        v = op(v, jnp.where(ok, prev, ident))
+        shift <<= 1
+    return v
+
+
+# --------------------------------------------------------------- rankings
+def _ctx_of(ctx_or_parts, order_keys, valid) -> WindowCtx:
+    if isinstance(ctx_or_parts, WindowCtx):
+        return ctx_or_parts
+    return analyze(tuple(ctx_or_parts), tuple(order_keys), valid)
+
+
+def row_number(ctx_or_parts, order_keys=None, valid=None):
+    ctx = _ctx_of(ctx_or_parts, order_keys, valid)
+    pos = jnp.arange(ctx.n, dtype=jnp.int64)
+    return ctx.scatter_back(pos - ctx.seg_start + 1)
+
+
+def rank(ctx_or_parts, order_keys=None, valid=None):
+    ctx = _ctx_of(ctx_or_parts, order_keys, valid)
+    pos = jnp.arange(ctx.n, dtype=jnp.int64)
+    first_peer = jax.lax.cummax(jnp.where(ctx.change, pos, 0), axis=0)
+    return ctx.scatter_back(first_peer - ctx.seg_start + 1)
+
+
+def dense_rank(ctx_or_parts, order_keys=None, valid=None):
+    ctx = _ctx_of(ctx_or_parts, order_keys, valid)
+    c = jnp.cumsum(ctx.change.astype(jnp.int64))
+    base = jnp.take(c, ctx.seg_start)
+    return ctx.scatter_back(c - base + 1)
+
+
+# ----------------------------------------------------------- value movers
+def shift(ctx: WindowCtx, values, valid, offset: int, default=None):
+    """LEAD (offset>0) / LAG (offset<0): value `offset` rows away within
+    the partition, NULL (or `default`) outside.  Returns (array, valid)."""
+    pos = jnp.arange(ctx.n, dtype=jnp.int64)
+    v_sorted = ctx.take(values)
+    val_sorted = ctx.valid_sorted if valid is None else \
+        (ctx.valid_sorted & ctx.take(valid))
+    idx = jnp.clip(pos + offset, 0, ctx.n - 1)
+    in_part = (pos + offset >= ctx.seg_start) & (pos + offset <= ctx.seg_end)
+    out = jnp.take(v_sorted, idx, axis=0)
+    ok = in_part & jnp.take(val_sorted, idx)
+    if default is not None:
+        out = jnp.where(ok, out, jnp.asarray(default, out.dtype))
+        ok = ok | ~in_part  # default fills outside-partition slots
+        return ctx.scatter_back(out), ctx.scatter_back(ok)
+    out = jnp.where(ok, out, jnp.zeros((), out.dtype))
+    return ctx.scatter_back(out), ctx.scatter_back(ok)
+
+
+def first_value(ctx: WindowCtx, values):
+    v_sorted = ctx.take(values)
+    return ctx.scatter_back(jnp.take(v_sorted, ctx.seg_start, axis=0))
+
+
+def last_value(ctx: WindowCtx, values, whole_partition: bool = False):
+    """Default frame: value at the row's last PEER (reference RANGE frame
+    semantics); whole_partition=True gives the partition's final value."""
+    v_sorted = ctx.take(values)
+    at = ctx.seg_end if whole_partition else ctx.last_peer
+    return ctx.scatter_back(jnp.take(v_sorted, at, axis=0))
+
+
+# ------------------------------------------------------ running aggregates
+def _frame_gather(ctx: WindowCtx, running, frame: str):
+    """Map a rows-inclusive running scan to the requested frame."""
+    if frame == "rows_upto":
+        return running
+    if frame == "range_upto":            # default frame: include peers
+        return jnp.take(running, ctx.last_peer, axis=0)
+    if frame == "partition":
+        return jnp.take(running, ctx.seg_end, axis=0)
+    raise ValueError(frame)
+
+
+def agg(ctx: WindowCtx, kind: str, values, valid, frame: str = "range_upto"):
+    """SUM/COUNT/AVG/MIN/MAX over the frame.  Exact int64 accumulation for
+    sums (decimal-safe); avg returns (sum, count) for the caller to divide.
+    Returns (array, out_valid) in input row order."""
+    if values is None:                    # count(*)
+        cnt = _seg_running_sum(ctx, ctx.valid_sorted.astype(jnp.int64))
+        return ctx.scatter_back(_frame_gather(ctx, cnt, frame)), None
+    v_sorted = ctx.take(values)
+    ok = ctx.valid_sorted if valid is None else \
+        (ctx.valid_sorted & ctx.take(valid))
+    nonnull = _seg_running_sum(ctx, ok.astype(jnp.int64))
+    nn = _frame_gather(ctx, nonnull, frame)
+    if kind == "count":
+        return ctx.scatter_back(nn), None
+    if kind in ("sum", "avg", "sum_double"):
+        zero = jnp.zeros((), v_sorted.dtype)
+        s = _seg_running_sum(ctx, jnp.where(ok, v_sorted, zero))
+        total = _frame_gather(ctx, s, frame)
+        if kind == "avg":
+            out = total.astype(jnp.float64) / jnp.maximum(nn, 1)
+            return ctx.scatter_back(out), ctx.scatter_back(nn > 0)
+        return ctx.scatter_back(total), ctx.scatter_back(nn > 0)
+    if kind in ("min", "max"):
+        if jnp.issubdtype(v_sorted.dtype, jnp.floating):
+            ident = jnp.asarray(jnp.inf if kind == "min" else -jnp.inf,
+                                v_sorted.dtype)
+        else:
+            info = jnp.iinfo(v_sorted.dtype)
+            ident = jnp.asarray(info.max if kind == "min" else info.min,
+                                v_sorted.dtype)
+        op = jnp.minimum if kind == "min" else jnp.maximum
+        m = _seg_running_idem(ctx, jnp.where(ok, v_sorted, ident), op, ident)
+        out = _frame_gather(ctx, m, frame)
+        return ctx.scatter_back(out), ctx.scatter_back(nn > 0)
+    raise ValueError(kind)
+
+
+# ----------------------------------------------------- legacy entry points
+# (kept for existing callers/tests; one-shot analyze + kernel)
+def _legacy(partition_keys, order_keys, valid):
+    return analyze(tuple(partition_keys), tuple(order_keys), valid)
 
 
 def running_sum(partition_keys, order_keys, values, valid):
     """SUM(v) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING)."""
-    n = valid.shape[0]
-    spart, _, perm = _sort_by(partition_keys, order_keys, valid)
-    starts = _segment_starts(spart, n)
-    v_sorted = jnp.where(valid[perm], values.astype(jnp.int64)[perm], 0)
-    csum = jnp.cumsum(v_sorted)
-    pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
-    base = jnp.where(seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0)
-    run = csum - base
-    return _scatter_back(run, perm, n)
+    ctx = _legacy(partition_keys, order_keys, valid)
+    out, _ = agg(ctx, "sum", values.astype(jnp.int64), None,
+                 frame="rows_upto")
+    return out
 
 
 def partition_total(partition_keys, values, valid):
     """SUM(v) OVER (PARTITION BY ...) — whole-partition frame."""
-    n = valid.shape[0]
-    spart, _, perm = _sort_by(partition_keys, (), valid)
-    starts = _segment_starts(spart, n)
-    v_sorted = jnp.where(valid[perm], values.astype(jnp.int64)[perm], 0)
-    csum = jnp.cumsum(v_sorted)
-    pos = jnp.arange(n, dtype=jnp.int64)
-    seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
-    # segment end = next segment's start - 1 (computed via reversed scan)
-    rev_starts = jnp.flip(starts)
-    rev_pos = jnp.arange(n, dtype=jnp.int64)
-    nxt = jax.lax.cummax(jnp.where(jnp.flip(
-        jnp.concatenate([starts[1:], jnp.ones(1, jnp.bool_)])),
-        rev_pos, 0), axis=0)
-    seg_end = n - 1 - jnp.flip(nxt)
-    total = csum[seg_end] - jnp.where(
-        seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0)
-    return _scatter_back(total, perm, n)
+    ctx = _legacy(partition_keys, (), valid)
+    out, _ = agg(ctx, "sum", values.astype(jnp.int64), None,
+                 frame="partition")
+    return out

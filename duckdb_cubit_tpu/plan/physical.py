@@ -426,7 +426,12 @@ class Project(PhysicalOperator):
                 cols[name] = rel.columns[e]
             else:
                 t = rel.evaluate(e)
-                cols[name] = RelColumn(t.array, t.dtype, t.dictionary,
+                arr = t.array
+                # constant-folded expressions (literal math, literal concat)
+                # broadcast to the row space (reference CONSTANT vectors)
+                if jnp.ndim(arr) == 0:
+                    arr = jnp.full(rel.capacity, arr)
+                cols[name] = RelColumn(arr, t.dtype, t.dictionary,
                                        valid=t.valid)
         return Relation(cols, rel.mask, rel.capacity)
 
@@ -1475,9 +1480,16 @@ class BroadcastScalar(PhysicalOperator):
 
 @dataclasses.dataclass
 class WindowFunc:
-    kind: str                 # row_number | rank | sum | total
-    expr: Expr | None         # value expression (sum/total)
+    kind: str                 # row_number|rank|dense_rank|lead|lag|
+    #                           first_value|last_value|sum|avg|min|max|
+    #                           count|total
+    expr: Expr | None         # value expression (None: row_number/count(*))
     name: str                 # output column
+    offset: int = 1           # lead/lag distance
+    default: Any = None       # lead/lag default (None -> NULL)
+    frame: str | None = None  # rows_upto | range_upto | partition
+    #                           (None -> range_upto with ORDER BY, else
+    #                            whole partition — reference default frame)
 
 
 class Window(PhysicalOperator):
@@ -1513,31 +1525,71 @@ class Window(PhysicalOperator):
 
         rel = self.children[0].execute(ctx)
         parts, orders = self._key_arrays(rel)
+        wctx = W.analyze(parts, orders, rel.mask)
         cols = dict(rel.columns)
         for f in self.functions:
+            frame = f.frame or ("range_upto" if self.order_by
+                                else "partition")
             if f.kind == "row_number":
-                out = W.row_number(parts, orders, rel.mask)
-                cols[f.name] = RelColumn(out, INT64, None)
+                cols[f.name] = RelColumn(W.row_number(wctx), INT64, None)
             elif f.kind == "rank":
-                out = W.rank(parts, orders, rel.mask)
-                cols[f.name] = RelColumn(out, INT64, None)
-            elif f.kind in ("sum", "total"):
+                cols[f.name] = RelColumn(W.rank(wctx), INT64, None)
+            elif f.kind == "dense_rank":
+                cols[f.name] = RelColumn(W.dense_rank(wctx), INT64, None)
+            elif f.kind in ("lead", "lag"):
                 t = rel.evaluate(f.expr)
-                vmask = rel.mask if t.valid is None else (rel.mask & t.valid)
-                if f.kind == "sum" and self.order_by:
-                    out = W.running_sum(parts, orders,
-                                        t.array.astype(jnp.int64), vmask)
+                off = f.offset if f.kind == "lead" else -f.offset
+                out, ok = W.shift(wctx, t.array, t.valid, off, f.default)
+                cols[f.name] = RelColumn(out, t.dtype, t.dictionary,
+                                         valid=ok)
+            elif f.kind in ("first_value", "last_value"):
+                t = rel.evaluate(f.expr)
+                if f.kind == "first_value":
+                    out = W.first_value(wctx, t.array)
                 else:
-                    out = W.partition_total(parts, t.array.astype(jnp.int64),
-                                            vmask)
-                dt = t.dtype if t.dtype.id == TypeId.DECIMAL else INT64
-                cols[f.name] = RelColumn(out, dt, None)
+                    out = W.last_value(
+                        wctx, t.array,
+                        whole_partition=(frame == "partition"))
+                cols[f.name] = RelColumn(out, t.dtype, t.dictionary)
+            elif f.kind == "count" and f.expr is None:
+                out, _ = W.agg(wctx, "count", None, None, frame)
+                cols[f.name] = RelColumn(out, INT64, None)
+            elif f.kind in ("sum", "total", "avg", "min", "max", "count"):
+                t = rel.evaluate(f.expr)
+                kind = "sum" if f.kind == "total" else f.kind
+                if f.kind == "total":
+                    frame = "partition"
+                arr = t.array
+                if kind in ("sum", "avg") and not jnp.issubdtype(
+                        arr.dtype, jnp.floating):
+                    arr = arr.astype(jnp.int64)
+                elif kind in ("sum", "avg"):
+                    kind = "sum_double" if kind == "sum" else "avg"
+                out, ok = W.agg(wctx, kind, arr, t.valid, frame)
+                if kind == "avg":
+                    dt, scale = DOUBLE, 10.0 ** t.dtype.scale \
+                        if t.dtype.id == TypeId.DECIMAL else 1.0
+                    if scale != 1.0:
+                        out = out / scale
+                elif f.kind == "count":
+                    dt = INT64
+                elif t.dtype.id == TypeId.DECIMAL:
+                    dt = t.dtype
+                elif kind in ("min", "max"):
+                    dt = t.dtype
+                else:
+                    dt = DOUBLE if jnp.issubdtype(out.dtype, jnp.floating) \
+                        else INT64
+                cols[f.name] = RelColumn(out, dt, t.dictionary
+                                         if kind in ("min", "max") else None,
+                                         valid=ok)
             else:
                 raise ValueError(f.kind)
         return Relation(cols, rel.mask, rel.capacity)
 
     def _self_signature(self):
-        fs = ";".join(f"{f.kind}:{f.name}:{f.expr!r}" for f in self.functions)
+        fs = ";".join(f"{f.kind}:{f.name}:{f.expr!r}:{f.offset}:"
+                      f"{f.default}:{f.frame}" for f in self.functions)
         return f"window[{self.partition_by};{self.order_by};{fs}]"
 
     def describe(self):

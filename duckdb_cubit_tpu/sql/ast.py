@@ -51,6 +51,17 @@ class FuncCall:
 
 
 @dataclasses.dataclass
+class WindowExpr:
+    """<func>(args) OVER (PARTITION BY ... ORDER BY ... [frame])."""
+    func: str
+    args: list
+    partition_by: list
+    order_by: list                  # [OrderItem]
+    frame: str | None = None        # rows_upto | range_upto | partition
+    star: bool = False              # count(*) OVER (...)
+
+
+@dataclasses.dataclass
 class CaseExpr:
     whens: list  # [(cond, result)]
     default: Any

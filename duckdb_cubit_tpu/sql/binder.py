@@ -49,6 +49,10 @@ from .parser import parse
 
 _CMPS = ("==", "!=", "<", "<=", ">", ">=")
 _AGG_FUNCS = ("sum", "avg", "min", "max", "count")
+# statistical aggregates lowered to sum/sum-of-squares/count arithmetic
+# (reference src/core_functions/aggregate/distributive/stddev.cpp)
+_STAT_AGGS = ("stddev", "stddev_samp", "stddev_pop",
+              "variance", "var_samp", "var_pop")
 
 
 class BindError(ValueError):
@@ -237,8 +241,11 @@ def _has_aggregate(node) -> bool:
         return False
     if isinstance(node, A.InExpr):
         return _has_aggregate(node.expr)
-    if isinstance(node, A.FuncCall) and node.name in _AGG_FUNCS:
+    if isinstance(node, A.FuncCall) and (node.name in _AGG_FUNCS
+                                         or node.name in _STAT_AGGS):
         return True
+    if isinstance(node, A.WindowExpr):
+        return False  # window functions are not aggregates
     if dataclasses.is_dataclass(node):
         for f in dataclasses.fields(node):
             v = getattr(node, f.name)
@@ -894,7 +901,24 @@ class Binder:
                      for s in scope.sources for c in s.cols]
         has_agg = bool(stmt.group_by) or _has_aggregate(stmt.having) or \
             any(_has_aggregate(i.expr) for i in items)
+        # window functions: OVER(...) items lower to Window operators over
+        # the joined/filtered relation, then project as generated columns
+        win_found: list[tuple[A.WindowExpr, str]] = []
+        items = [A.SelectItem(self._replace_windows(it.expr, win_found),
+                              it.alias) for it in items]
+        win_names = set()
+        if win_found:
+            if has_agg:
+                raise BindError("window functions cannot be mixed with "
+                                "GROUP BY / aggregates in one SELECT "
+                                "(wrap the aggregate in a subquery)")
+            plan = self._bind_windows(plan, scope, win_found)
+            win_names = {gen for _, gen in win_found}
         if not has_agg:
+            def _resolver(ref: A.ColumnRef):
+                if ref.table is None and ref.name in win_names:
+                    return ref.name
+                return scope.physical(ref)
             projections: dict[str, E.Expr] = {}
             unique_sets = []
             name_of: dict[str, str] = {}   # physical -> out name
@@ -902,8 +926,10 @@ class Binder:
                 name = item.alias or _default_name(item.expr, i)
                 if name in projections:
                     raise BindError(f"duplicate output column {name}")
-                projections[name] = self.to_expr(item.expr, scope)
-                if isinstance(item.expr, A.ColumnRef):
+                projections[name] = self.to_expr(item.expr, scope,
+                                                 resolver=_resolver)
+                if isinstance(item.expr, A.ColumnRef) \
+                        and item.expr.name not in win_names:
                     name_of[scope.physical(item.expr)] = name
             if len(scope.sources) == 1:
                 s = scope.sources[0]
@@ -1039,6 +1065,94 @@ class Binder:
         plan = self._order_limit(stmt, plan, out_names)
         return Bound(plan, out_names, [], cur_size)
 
+    # ------------------------------------------------------ window binding
+    def _replace_windows(self, node, found: list):
+        """Replace WindowExpr nodes with generated column refs; collect
+        (node, gen_name) pairs for _bind_windows."""
+        if isinstance(node, A.WindowExpr):
+            gen = self._gen("w")
+            found.append((node, gen))
+            return A.ColumnRef(None, gen)
+        if dataclasses.is_dataclass(node) and not isinstance(
+                node, A.SelectStmt):
+            kwargs = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if dataclasses.is_dataclass(v) and not isinstance(
+                        v, A.SelectStmt):
+                    v = self._replace_windows(v, found)
+                elif isinstance(v, list):
+                    v = [self._replace_windows(x, found)
+                         if dataclasses.is_dataclass(x) else x for x in v]
+                kwargs[f.name] = v
+            return type(node)(**kwargs)
+        return node
+
+    _WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lead", "lag",
+                     "first_value", "last_value", "sum", "avg", "min",
+                     "max", "count"}
+
+    def _bind_windows(self, plan, scope: Scope, found: list):
+        """Lower collected WindowExprs: one Window operator per distinct
+        (PARTITION BY, ORDER BY) pair (the reference groups window
+        expressions the same way, physical_window.cpp:822)."""
+        pre_proj: dict[str, E.Expr] = {}
+
+        def key_col(expr_ast) -> str:
+            if isinstance(expr_ast, A.ColumnRef):
+                return scope.physical(expr_ast)
+            gen = self._gen("wk")
+            pre_proj[gen] = self.to_expr(expr_ast, scope)
+            return gen
+
+        groups: dict[tuple, list] = {}
+        for node, gen in found:
+            if node.func not in self._WINDOW_FUNCS:
+                raise BindError(f"unknown window function {node.func}")
+            parts = tuple(key_col(p) for p in node.partition_by)
+            orders = tuple((key_col(oi.expr), oi.descending)
+                           for oi in node.order_by)
+            groups.setdefault((parts, orders), []).append((node, gen))
+        if pre_proj:
+            plan = P.Project(plan, pre_proj, keep_input=True)
+        for (parts, orders), members in groups.items():
+            funcs = []
+            for node, gen in members:
+                kind = node.func
+                expr = None
+                offset, default = 1, None
+                if kind in ("row_number", "rank", "dense_rank"):
+                    if node.args:
+                        raise BindError(f"{kind}() takes no arguments")
+                elif kind == "count" and (node.star or not node.args):
+                    expr = None
+                else:
+                    if not node.args:
+                        raise BindError(f"{kind}() needs a value argument")
+                    expr = self.to_expr(node.args[0], scope)
+                    if kind in ("lead", "lag"):
+                        if len(node.args) > 1:
+                            a1 = node.args[1]
+                            if not isinstance(a1, A.Literal) or \
+                                    not isinstance(a1.value, int):
+                                raise BindError(
+                                    f"{kind} offset must be an integer "
+                                    f"literal")
+                            offset = a1.value
+                        if len(node.args) > 2:
+                            a2 = node.args[2]
+                            neg = False
+                            while isinstance(a2, A.UnaryOp) and a2.op == "-":
+                                neg, a2 = not neg, a2.child
+                            if not isinstance(a2, A.Literal):
+                                raise BindError(
+                                    f"{kind} default must be a literal")
+                            default = -a2.value if neg else a2.value
+                funcs.append(P.WindowFunc(kind, expr, gen, offset=offset,
+                                          default=default, frame=node.frame))
+            plan = P.Window(plan, list(parts), list(orders), funcs)
+        return plan
+
     def _replace_subqueries(self, node, lifted: list):
         """Replace scalar SubqueryExpr nodes with generated column refs
         (bound later via BroadcastScalar on the aggregate output)."""
@@ -1078,6 +1192,21 @@ class Binder:
                 self.to_expr(node.args[0], scope)
             aggs.append(P.Aggregate(node.name, arg, gen))
             return E.Col(gen)
+        if isinstance(node, A.FuncCall) and node.name in _STAT_AGGS:
+            # stddev/variance via the sum-of-squares identity over exact
+            # per-group sums: var_samp = (n*sum(x^2) - sum(x)^2) / (n*(n-1))
+            arg = self.to_expr(node.args[0], scope).cast_double()
+            g_s, g_ss, g_n = self._gen("a"), self._gen("a"), self._gen("a")
+            aggs.append(P.Aggregate("sum_double", arg, g_s))
+            aggs.append(P.Aggregate("sum_double", arg * arg, g_ss))
+            aggs.append(P.Aggregate("count", arg, g_n))
+            n, s, ss = E.Col(g_n), E.Col(g_s), E.Col(g_ss)
+            pop = node.name.endswith("_pop")
+            denom = (n * n) if pop else (n * (n - E.Lit(1)))
+            var = (n * ss - s * s) / denom
+            if node.name.startswith("var"):
+                return var
+            return E.MathFn("sqrt", var)
 
         def resolver(ref: A.ColumnRef):
             if ref.table is None:
@@ -1100,6 +1229,59 @@ class Binder:
 
         return self.to_expr(node, scope, resolver=resolver,
                             agg_hook=agg_hook)
+
+    def _bind_scalar_func(self, node: A.FuncCall, rec) -> E.Expr:
+        """Scalar function registry (reference src/core_functions/scalar/)."""
+        name, args = node.name, node.args
+        def need(k):
+            if len(args) != k:
+                raise BindError(f"{name}() takes {k} argument(s)")
+        if name in ("upper", "ucase", "lower", "lcase", "trim", "ltrim",
+                    "rtrim"):
+            need(1)
+            op = {"ucase": "upper", "lcase": "lower"}.get(name, name)
+            return E.StrMap(rec(args[0]), op)
+        if name in ("length", "len", "char_length"):
+            need(1)
+            return E.StrLen(rec(args[0]))
+        if name == "concat":
+            if len(args) < 2:
+                raise BindError("concat() takes 2+ arguments")
+            out = rec(args[0])
+            for a in args[1:]:
+                out = E.Concat(out, rec(a))
+            return out
+        if name in ("sqrt", "abs", "floor", "ceil", "ceiling"):
+            need(1)
+            op = "ceil" if name == "ceiling" else name
+            return E.MathFn(op, rec(args[0]))
+        if name == "round":
+            digits = 0
+            if len(args) == 2:
+                d = args[1]
+                if not isinstance(d, A.Literal) or not isinstance(d.value,
+                                                                  int):
+                    raise BindError("round() digits must be an int literal")
+                digits = d.value
+            elif len(args) != 1:
+                raise BindError("round() takes 1-2 arguments")
+            return E.MathFn("round", rec(args[0]), digits)
+        if name == "date_part":
+            need(2)
+            f = args[0]
+            if not isinstance(f, A.Literal) or f.value not in (
+                    "year", "month", "day"):
+                raise BindError("date_part field must be "
+                                "'year'|'month'|'day'")
+            if f.value == "year":
+                return rec(args[1]).year()
+            return E.ExtractField(f.value, rec(args[1]))
+        if name in ("year", "month", "day"):
+            need(1)
+            if name == "year":
+                return rec(args[0]).year()
+            return E.ExtractField(name, rec(args[0]))
+        raise BindError(f"unknown function {name}")
 
     def _order_limit(self, stmt, plan, out_names):
         if stmt.order_by:
@@ -1149,16 +1331,18 @@ class Binder:
         if isinstance(node, A.IntervalLit):
             raise BindError("interval outside date arithmetic")
         if isinstance(node, A.FuncCall):
-            if node.name in _AGG_FUNCS:
+            if node.name in _AGG_FUNCS or node.name in _STAT_AGGS:
                 if agg_hook is not None:
                     return agg_hook(node)
                 raise BindError(f"aggregate {node.name}() outside "
                                 f"SELECT/HAVING")
-            raise BindError(f"unknown function {node.name}")
+            return self._bind_scalar_func(node, rec)
         if isinstance(node, A.BinaryOp):
             folded = _fold_date_arith(node)
             if folded is not None:
                 return folded
+            if node.op == "||":
+                return E.Concat(rec(node.left), rec(node.right))
             l, r = rec(node.left), rec(node.right)
             ops = {"+": lambda: l + r, "-": lambda: l - r,
                    "*": lambda: l * r, "/": lambda: l / r,
@@ -1201,9 +1385,11 @@ class Binder:
                 out = E.Case(rec(cond), rec(res), out)
             return out
         if isinstance(node, A.ExtractExpr):
-            if node.field != "year":
+            if node.field not in ("year", "month", "day"):
                 raise BindError(f"extract({node.field}) unsupported")
-            return rec(node.child).year()
+            if node.field == "year":
+                return rec(node.child).year()
+            return E.ExtractField(node.field, rec(node.child))
         if isinstance(node, A.SubstringExpr):
             return E.Substr(rec(node.child),
                             int(node.start.value), int(node.length.value))

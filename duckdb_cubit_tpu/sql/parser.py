@@ -441,7 +441,7 @@ class Parser:
         left = self.parse_multiplicative()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.value in ("+", "-"):
+            if t.kind == "op" and t.value in ("+", "-", "||"):
                 self.next()
                 left = A.BinaryOp(t.value, left, self.parse_multiplicative())
             else:
@@ -541,9 +541,14 @@ class Parser:
             if self.peek().kind == "op" and self.peek().value == "*":
                 self.next()
                 self.expect("op", ")")
-                return A.FuncCall(fname, [], star=True)
+                w = self.maybe_over(fname, [], star=True)
+                return w if w is not None else A.FuncCall(fname, [], star=True)
             arg = self.parse_expr()
             self.expect("op", ")")
+            if not distinct:
+                w = self.maybe_over(fname, [arg])
+                if w is not None:
+                    return w
             return A.FuncCall(fname, [arg], distinct=distinct)
         if t.kind == "ident":
             self.next()
@@ -559,9 +564,53 @@ class Parser:
                     while self.accept("op", ","):
                         args.append(self.parse_expr())
                 self.expect("op", ")")
+                w = self.maybe_over(t.value.lower(), args)
+                if w is not None:
+                    return w
                 return A.FuncCall(t.value.lower(), args)
             return A.ColumnRef(None, t.value)
         raise ParseError(f"unexpected token {t.kind} {t.value!r} at {t.pos}")
+
+    def maybe_over(self, fname: str, args: list,
+                   star: bool = False) -> A.WindowExpr | None:
+        """`OVER (PARTITION BY ... ORDER BY ... [ROWS|RANGE BETWEEN ...])`
+        window suffix after a function call (reference window binding,
+        physical_window.cpp:822)."""
+        if not self._at_word("over"):
+            return None
+        self.next()
+        self.expect("op", "(")
+        partition_by: list = []
+        order_by: list[A.OrderItem] = []
+        frame = None
+        if self._at_word("partition"):
+            self.next()
+            self.expect("kw", "by")
+            partition_by.append(self.parse_expr())
+            while self.accept("op", ","):
+                partition_by.append(self.parse_expr())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order_by.append(self.parse_order_item())
+            while self.accept("op", ","):
+                order_by.append(self.parse_order_item())
+        if self._at_word("rows", "range"):
+            mode = self._word("rows", "range")
+            self.expect("kw", "between")
+            self._word("unbounded")
+            self._word("preceding")
+            self.expect("kw", "and")
+            if self._at_word("current"):
+                self.next()
+                self._word("row")
+                frame = "rows_upto" if mode == "rows" else "range_upto"
+            else:
+                self._word("unbounded")
+                self._word("following")
+                frame = "partition"
+        self.expect("op", ")")
+        return A.WindowExpr(fname, args, partition_by, order_by, frame,
+                            star=star)
 
     def parse_case(self):
         self.expect("kw", "case")

@@ -132,7 +132,9 @@ def from_numpy(
     for col_name, values in data.items():
         assert len(values) == num_rows, f"ragged column {col_name}"
         dictionary = None
-        if values.dtype.kind == "S":
+        if values.dtype.kind in ("S", "U") or values.dtype == object:
+            if values.dtype.kind != "S":
+                values = np.asarray(values, dtype="S")
             codes, dictionary = encode_strings(values)
             dev_np, dtype = codes, VARCHAR
         elif values.dtype == np.uint8:

@@ -1,3 +1,6 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, sys, jax, jax.numpy as jnp
 import duckdb_cubit_tpu
 import numpy as np

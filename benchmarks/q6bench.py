@@ -4,6 +4,9 @@ One dispatch evaluates all NV variants via lax.map; a trivially-cheap
 control with the same dispatch/pull pattern is subtracted, isolating device
 execution time (the tunnel's flat dispatch cost would otherwise dominate).
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import statistics
 import time
 

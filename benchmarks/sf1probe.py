@@ -1,3 +1,6 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, sys
 from duckdb_cubit_tpu.api import connect
 t0=time.time(); conn = connect(sf=1.0); print('load', round(time.time()-t0,1), flush=True)

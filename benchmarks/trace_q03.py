@@ -1,3 +1,6 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, jax
 from duckdb_cubit_tpu.api import connect
 conn = connect(sf=1.0)

@@ -37,8 +37,19 @@ _cache_dir = os.environ.get(
 try:
     # key by platform: AOT artifacts are NOT portable across backends (a CPU
     # run reusing a TPU host's entries spams cpu_aot_loader feature-mismatch
-    # warnings and can mask real failures)
-    _cache_dir = os.path.join(_cache_dir, jax.default_backend())
+    # warnings and can mask real failures).  CPU entries additionally key on
+    # a machine-feature fingerprint — cpu_aot artifacts are not portable
+    # across hosts with different ISA extensions either.
+    _backend_key = jax.default_backend()
+    if _backend_key == "cpu":
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+        except OSError:
+            _flags = ""
+        _backend_key = "cpu-" + hashlib.md5(_flags.encode()).hexdigest()[:10]
+    _cache_dir = os.path.join(_cache_dir, _backend_key)
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -29,6 +29,9 @@ class EngineConfig:
     # staged execution: compile one program per pipeline, compact relations
     # at stage boundaries (default); False = single whole-plan XLA program
     staged_execution: bool = True
+    # hand-written Pallas inner loops for the fused bitmap-scan aggregate
+    # (auto-disabled off-TPU; SET use_pallas = false to force the XLA path)
+    use_pallas: bool = True
     # verification / debugging (analog of PRAGMA enable_verification)
     enable_verification: bool = False   # run eager + compiled, compare
     profile: bool = False
@@ -55,4 +58,5 @@ class EngineConfig:
         the reference re-planning prepared statements on setting changes)."""
         return (self.index_scan_percentage, self.index_scan_max_count,
                 self.small_group_limit, self.dense_domain_limit,
-                self.join_expansion_factor, self.memory_limit)
+                self.join_expansion_factor, self.memory_limit,
+                self.use_pallas)

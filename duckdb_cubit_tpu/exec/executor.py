@@ -12,6 +12,7 @@ a thread pool.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 from collections import OrderedDict
 
@@ -102,11 +103,14 @@ class Executor:
     CACHE_LIMIT = 256
     # operator attributes produced by prepare() (host shape decisions)
     _PREP_ATTRS = ("_words", "_decode_cap", "_mask8", "_pk", "_reverse_pk",
-                   "_fk_dense")
+                   "_fk_dense", "_pallas")
 
     def __init__(self, catalog, config=None):
         self.catalog = catalog
         self.config = config
+        # capacity-retry diagnostics: how many staged-stage retries (capacity
+        # regrows / single-match fallbacks) this executor has performed
+        self.retry_count = 0
 
     @staticmethod
     def _cache_put(cache, key, value):
@@ -118,7 +122,8 @@ class Executor:
     def _catalog_version(self):
         cfg = self.config.plan_key() if self.config is not None else ()
         return (cfg, getattr(self.catalog, "placement", "default"),
-                tuple(sorted((name, t.version, t.num_rows)
+                tuple(sorted((name, getattr(t, "uid", 0), t.version,
+                              t.num_rows)
                              for name, t in self.catalog.tables.items())))
 
     def execute(self, plan: PhysicalOperator, profile: bool = False,
@@ -126,21 +131,26 @@ class Executor:
         if compiled is None:
             compiled = not profile
         profiler = QueryProfiler() if profile else None
+        verifying = (compiled and self.config is not None
+                     and self.config.enable_verification)
+        # optimize() rewrites the tree in place, so the unoptimized
+        # verification leg needs its own copy taken BEFORE optimization
+        raw_plan = copy.deepcopy(plan) if (verifying and optimize) else None
         if optimize:
             plan = opt.optimize(plan, self.catalog)
         self.plan = plan
         self.profiler = profiler
-        if (compiled and self.config is not None
-                and self.config.enable_verification):
-            return self._execute_verified(plan)
+        if verifying:
+            return self._execute_verified(plan, raw_plan)
         if not compiled:
             return self._execute_eager(plan, profiler)
         if self.config is None or self.config.staged_execution:
             return self._execute_staged(plan)
         return self._execute_compiled(plan)
 
-    def _execute_eager(self, plan, profiler=None):
+    def _execute_eager(self, plan, profiler=None, verify_mode=False):
         ctx = ExecContext(self.catalog, self.config, profiler)
+        ctx.verify_mode = verify_mode
         if profiler:
             with profiler.phase("execute"):
                 rel = plan.execute(ctx)
@@ -150,10 +160,22 @@ class Executor:
         rel.checks = list(ctx.checks)
         return rel
 
-    def _execute_verified(self, plan):
+    def _execute_verified(self, plan, raw_plan=None):
         """PRAGMA enable_verification analog (reference
-        src/main/client_verify.cpp:24): run the compiled program AND the
-        eager interpreter and require identical materialized results."""
+        src/main/client_verify.cpp:24): run the query through genuinely
+        independent paths and require identical materialized results:
+
+          1. the compiled optimized plan (the production path),
+          2. the eager interpreter over the same optimized plan,
+          3. the UNOPTIMIZED plan, eagerly, in verify_mode — no CUBIT index
+             matching, no PK/reverse-PK direct-address joins, no FK-dense
+             grouping, no fused scan-sum (the reference's unoptimized-
+             statement verifier, src/verification/unoptimized_statement_
+             verifier.cpp).
+
+        Leg 3 exercises the sort-based CSR join, generic grouping, and plain
+        mask filters, so an index-matching or fast-path bug cannot
+        self-confirm."""
         from .result import to_strings
 
         compiled_rel = self._execute_compiled(plan)
@@ -163,6 +185,13 @@ class Executor:
             raise RuntimeError(
                 "verification failed: compiled and eager results differ "
                 f"(compiled {len(a)} rows, eager {len(b)} rows)")
+        if raw_plan is not None:
+            c = to_strings(self._execute_eager(raw_plan, verify_mode=True))
+            if sorted(map(tuple, a)) != sorted(map(tuple, c)):
+                raise RuntimeError(
+                    "verification failed: optimized and unoptimized results "
+                    f"differ (optimized {len(a)} rows, unoptimized {len(c)} "
+                    "rows)")
         return compiled_rel
 
     # ------------------------------------------------------- compiled path
@@ -219,10 +248,19 @@ class Executor:
                 base, col, _ = op._pk or op._reverse_pk
                 spec.append((op, "pk_lut", None))
                 arrays.append(self.catalog.table(base).pk_indexes[col].lut)
-            elif isinstance(op, GroupAggregate) and getattr(op, "_fk_dense", None):
-                pk_table, pk_col, _, _ = op._fk_dense
-                spec.append((op, "pk_lut", None))
-                arrays.append(self.catalog.table(pk_table).pk_indexes[pk_col].lut)
+            elif isinstance(op, GroupAggregate):
+                if getattr(op, "_fk_dense", None):
+                    pk_table, pk_col, _, _ = op._fk_dense
+                    spec.append((op, "pk_lut", None))
+                    arrays.append(
+                        self.catalog.table(pk_table).pk_indexes[pk_col].lut)
+                if getattr(op, "_pallas", None) is not None:
+                    _, planes, packed = op._pallas
+                    spec.append((op, "pallas_words", None))
+                    arrays.append(planes)
+                    if packed is not None:
+                        spec.append((op, "pallas_packed", None))
+                        arrays.append(packed)
         return spec, arrays
 
     def compile_plan(self, plan: PhysicalOperator):
@@ -251,14 +289,8 @@ class Executor:
                     slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
                     if kind == "col":
                         slot["cols"][name] = arr
-                    elif kind == "words":
-                        slot["words"] = arr
-                    elif kind == "mask8":
-                        slot["mask8"] = arr
-                    elif kind == "deleted":
-                        slot["deleted"] = arr
                     else:
-                        slot["pk_lut"] = arr
+                        slot[kind] = arr
                 rel = plan_ref.execute(ctx)
                 meta_box["names"] = list(rel.columns.keys())
                 meta_box["meta"] = [(c.dtype, c.dictionary, c.domain)
@@ -394,6 +426,7 @@ class Executor:
             stage_ops = self._stage_ops(op, bindex)
             if not self._handle_failed_checks(failed, stage_ops):
                 raise RuntimeError(f"runtime check failed: {failed}")
+            self.retry_count += 1
             # host decisions can shift (single-match -> expansion fallback
             # changes ancestor PK-join eligibility): re-resolve the plan
             self._prepare(self.plan)
@@ -425,7 +458,7 @@ class Executor:
                 return False
         return changed
 
-    _compact_cache: dict = {}
+    _compact_cache: OrderedDict = OrderedDict()
 
     def _compact_relation(self, rel):
         """Materialize the true cardinality (one scalar D2H) and gather the
@@ -458,7 +491,7 @@ class Executor:
                          for v in valids]
                 return outs, vouts, valid
             fn = jax.jit(compact)
-            Executor._compact_cache[key] = fn
+            Executor._cache_put(Executor._compact_cache, key, fn)
         outs, vouts, valid = fn(rel.mask, [c.array for c in cols],
                                 [c.valid for c in cols])
         new_cols = {n: RelColumn(a, c.dtype, c.dictionary, c.domain, v)
@@ -509,14 +542,8 @@ class Executor:
                     slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
                     if kind == "col":
                         slot["cols"][name] = arr
-                    elif kind == "words":
-                        slot["words"] = arr
-                    elif kind == "mask8":
-                        slot["mask8"] = arr
-                    elif kind == "deleted":
-                        slot["deleted"] = arr
                     else:
-                        slot["pk_lut"] = arr
+                        slot[kind] = arr
                 for c, (names, metas, cap) in zip(bound_ops, bmeta):
                     mask = args[pos]
                     pos += 1

@@ -23,6 +23,7 @@ import fnmatch
 import re
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -484,6 +485,24 @@ class Case(Expr):
         return Typed(jnp.where(c, ta, oa), dt, None, v)
 
 
+@dataclasses.dataclass(eq=False)
+class ValidIf(Expr):
+    """Result is NULL wherever `cond` is not true (keeps child's values).
+
+    Used by the binder to give aggregate rewrites exact NULL semantics —
+    e.g. stddev over n<=1 rows is NULL, not NaN (reference behavior of
+    STDDEV's finalize, src/core_functions/aggregate/distributive/stddev.cpp).
+    """
+    child: Expr
+    cond: Expr
+
+    def eval(self, ctx):
+        t = self.child.eval(ctx)
+        m = as_mask(self.cond.eval(ctx))
+        v = m if t.valid is None else (t.valid & m)
+        return Typed(t.array, t.dtype, t.dictionary, v)
+
+
 def _civil_from_days(days):
     """days-since-epoch -> (year, month, day), Hinnant's algorithm
     (vectorized integer ops; same math as the reference's date_part,
@@ -575,13 +594,19 @@ class StrLen(Expr):
         return Typed(jnp.asarray(lens)[ct.array], INT64, None, ct.valid)
 
 
+class ExpressionError(ValueError):
+    """User-facing expression evaluation error."""
+
+
 @dataclasses.dataclass(eq=False)
 class Concat(Expr):
     """string concatenation (a || b): trace-time dictionary product.
 
     Guarded by a dictionary-size budget — the combined dictionary is
-    |d1|*|d2| entries in the worst case (literals and CHAR1 domains stay
-    tiny)."""
+    |d1|*|d2| entries in the worst case.  Past the budget, concrete
+    (non-traced) code arrays fall back to building entries only for
+    OBSERVED code pairs (one host unique pass); traced evaluation raises a
+    typed error instead of doing unbounded host work (ADVICE r3)."""
     left: Expr
     right: Expr
     MAX_DICT = 1 << 20
@@ -592,7 +617,14 @@ class Concat(Expr):
         ld, lc = self._as_literal_or_col(lt)
         rd, rc = self._as_literal_or_col(rt)
         if len(ld) * len(rd) > self.MAX_DICT:
-            raise AssertionError("concat dictionary blow-up")
+            concrete = not (isinstance(lc, jax.core.Tracer)
+                            or isinstance(rc, jax.core.Tracer))
+            if lc is None or rc is None or not concrete:
+                raise ExpressionError(
+                    f"concat dictionary would have {len(ld) * len(rd)} "
+                    f"entries (budget {self.MAX_DICT}); re-run unjitted or "
+                    f"reduce operand cardinality")
+            return self._observed_pairs(lt, rt, ld, rd, lc, rc)
         pairs = np.array([a + b for a in ld for b in rd], dtype="S")
         new_dict, remap = np.unique(pairs, return_inverse=True)
         remap = remap.reshape(len(ld), len(rd)).astype(np.int32)
@@ -606,6 +638,24 @@ class Concat(Expr):
             codes = jnp.asarray(remap)[lc, rc]
         v = and_valid(lt.valid, rt.valid)
         return Typed(codes, VARCHAR, new_dict, v)
+
+    def _observed_pairs(self, lt, rt, ld, rd, lc, rc):
+        """Dictionary entries only for code pairs that actually occur."""
+        lcn = np.asarray(lc).astype(np.int64)
+        rcn = np.asarray(rc).astype(np.int64)
+        pair = lcn * len(rd) + rcn
+        upairs, inverse = np.unique(pair, return_inverse=True)
+        if len(upairs) > self.MAX_DICT:
+            raise ExpressionError(
+                f"concat produces {len(upairs)} distinct strings "
+                f"(budget {self.MAX_DICT})")
+        entries = np.array(
+            [ld[int(p) // len(rd)] + rd[int(p) % len(rd)] for p in upairs],
+            dtype="S")
+        new_dict, remap = np.unique(entries, return_inverse=True)
+        codes = jnp.asarray(remap.astype(np.int32))[
+            jnp.asarray(inverse.astype(np.int32))]
+        return Typed(codes, VARCHAR, new_dict, and_valid(lt.valid, rt.valid))
 
     @classmethod
     def _as_literal_or_col(cls, t: Typed):

@@ -54,10 +54,14 @@ def mixed_radix_codes(code_arrays: list, sizes: list[int]):
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def group_by_sort(keys: tuple, valid: jnp.ndarray, capacity: int) -> GroupedKeys:
-    """Dense group ids for an arbitrary int-key tuple via multi-key sort."""
+    """Dense group ids for an arbitrary int-key tuple via multi-key sort.
+
+    A leading validity key (not a key-value sentinel) pushes masked rows to
+    the end: sentinels collide with monotone-encoded float keys, where a
+    double 2.0 bitcasts to exactly 2**62."""
     n = keys[0].shape[0]
-    big = jnp.int64(2**62)
-    skeys = tuple(jnp.where(valid, k.astype(jnp.int64), big) for k in keys)
+    lead = (~valid).astype(jnp.int64)
+    skeys = (lead,) + tuple(k.astype(jnp.int64) for k in keys)
     rows = jnp.arange(n, dtype=jnp.int32)
     out = jax.lax.sort(skeys + (rows,), num_keys=len(skeys))
     sk, srows = out[:-1], out[-1]
@@ -65,7 +69,7 @@ def group_by_sort(keys: tuple, valid: jnp.ndarray, capacity: int) -> GroupedKeys
     for k in sk:
         changed = changed | jnp.concatenate(
             [jnp.ones(1, jnp.bool_), k[1:] != k[:-1]])
-    svalid = sk[0] != big
+    svalid = sk[0] == 0
     first = changed & svalid
     gid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
     num_groups = jnp.maximum(gid_sorted[-1] + 1, 0) if n else jnp.int32(0)

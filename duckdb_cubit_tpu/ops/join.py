@@ -66,12 +66,17 @@ def _build_kernel(keys: jnp.ndarray, valid: jnp.ndarray, size: int, ucap: int):
     """
     del size
     n = keys.shape[0]
-    big = jnp.int64(2**62)
-    skeys = jnp.where(valid, keys.astype(jnp.int64), big)
+    # a leading validity key pushes masked rows past all valid ones without
+    # a key-value sentinel (sentinels collide with monotone-encoded float
+    # keys: a double 2.0 bitcasts to exactly 2**62); the padding sentinel
+    # for empty unique slots is int64 max so ukeys stays ascending
+    big = jnp.int64(jnp.iinfo(jnp.int64).max)
+    lead = (~valid).astype(jnp.int64)
     rows = jnp.arange(n, dtype=jnp.int32)
-    sk, srows = jax.lax.sort((skeys, rows), num_keys=1)
+    lv, sk, srows = jax.lax.sort(
+        (lead, keys.astype(jnp.int64), rows), num_keys=2)
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), sk[1:] != sk[:-1]])
-    svalid = sk != big
+    svalid = lv == 0
     first = first & svalid
     # dense unique ids along sorted (== ascending-key) order
     uid = jnp.cumsum(first.astype(jnp.int32)) - 1
@@ -99,19 +104,22 @@ def build(keys: jnp.ndarray, valid: jnp.ndarray, num_rows_hint: int | None = Non
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
-def _probe_kernel(ht_keys, ht_entry, probe_keys, probe_valid, size: int):
-    """Vectorized binary search over the ascending unique-key array."""
-    del size, ht_entry
+def _probe_kernel(ht_keys, counts, probe_keys, probe_valid, size: int):
+    """Vectorized binary search over the ascending unique-key array.
+
+    `counts > 0` guards against a probe key equal to the padding sentinel
+    matching an empty slot (padding slots have count 0)."""
+    del size
     pk = probe_keys.astype(jnp.int64)
     pos = jnp.searchsorted(ht_keys, pk, side="left").astype(jnp.int32)
     safe = jnp.minimum(pos, ht_keys.shape[0] - 1)
-    hit = probe_valid & (ht_keys[safe] == pk)
+    hit = probe_valid & (ht_keys[safe] == pk) & (counts[safe] > 0)
     return jnp.where(hit, safe, -1)  # index into unique arrays, -1 = miss
 
 
 def probe(bs: BuildSide, probe_keys: jnp.ndarray, probe_valid: jnp.ndarray):
     """-> (unique-entry index per probe row, -1 on miss)."""
-    return _probe_kernel(bs.ht_keys, bs.ht_entry, probe_keys, probe_valid,
+    return _probe_kernel(bs.ht_keys, bs.counts, probe_keys, probe_valid,
                          bs.size)
 
 

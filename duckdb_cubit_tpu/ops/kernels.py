@@ -44,6 +44,38 @@ def hash_combine(h: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarray:
     return hash64(h ^ (other + _GOLDEN64 + (h << np.uint64(6)) + (h >> np.uint64(2))))
 
 
+# -------------------------------------------------- order-preserving keys
+
+_SIGN_LOW = jnp.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def monotone_i64(array: jnp.ndarray) -> jnp.ndarray:
+    """Order- and equality-preserving int64 key for any numeric column.
+
+    Floats bitcast to int64 with the low 63 bits flipped for negatives —
+    the standard IEEE-754 total-order trick (the analog of the reference's
+    byte-comparable radix-key encoding, src/common/sort/row_radix_scatter
+    .cpp, which flips sign/exponent bits for the same reason).  -0.0 is
+    normalized to +0.0 first so SQL equality/grouping sees one zero.  The
+    transform is an involution on the int64 bit pattern (the sign bit is
+    preserved), so `monotone_i64_inverse` recovers exact float values.
+    """
+    if jnp.issubdtype(array.dtype, jnp.floating):
+        a = array.astype(jnp.float64)
+        a = jnp.where(a == 0, jnp.float64(0.0), a)
+        bits = jax.lax.bitcast_convert_type(a, jnp.int64)
+        return bits ^ ((bits >> jnp.int64(63)) & _SIGN_LOW)
+    return array.astype(jnp.int64)
+
+
+def monotone_i64_inverse(keys: jnp.ndarray, floating: bool) -> jnp.ndarray:
+    """Invert monotone_i64 (float64 out when `floating`)."""
+    if floating:
+        bits = keys ^ ((keys >> jnp.int64(63)) & _SIGN_LOW)
+        return jax.lax.bitcast_convert_type(bits, jnp.float64)
+    return keys
+
+
 # ------------------------------------------------------------- exact sums
 
 

@@ -19,21 +19,24 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from .kernels import monotone_i64
+
 
 def _sort_by(partition_keys, order_keys, valid):
+    """Sort rows by (validity, partition keys, order keys).
+
+    A leading validity key pushes masked rows to the end WITHOUT a key-value
+    sentinel — sentinels collide with monotone-encoded float keys (a double
+    2.0 bitcasts to exactly 2**62).  Float keys are mapped through
+    kernels.monotone_i64 so ordering is exact (ADVICE r3: int64 casts
+    truncated DOUBLE order keys)."""
     n = valid.shape[0]
-    big = jnp.int64(2**62)
-    keys = tuple(jnp.where(valid, k.astype(jnp.int64), big)
-                 for k in (*partition_keys, *order_keys))
     rows = jnp.arange(n, dtype=jnp.int32)
-    if not keys:
-        # still push masked rows to the end so positional functions
-        # (row_number) count only live rows
-        keys = (jnp.where(valid, jnp.int64(0), big),)
-        out = jax.lax.sort(keys + (rows,), num_keys=1)
-        return (), (), out[-1]
-    out = jax.lax.sort(keys + (rows,), num_keys=len(keys))
-    return out[:len(partition_keys)], out[len(partition_keys):-1], out[-1]
+    lead = (~valid).astype(jnp.int64)
+    keys = tuple(monotone_i64(k) for k in (*partition_keys, *order_keys))
+    out = jax.lax.sort((lead,) + keys + (rows,), num_keys=1 + len(keys))
+    np_ = len(partition_keys)
+    return out[1:1 + np_], out[1 + np_:-1], out[-1]
 
 
 def _change_flags(sorted_keys, n):
@@ -79,12 +82,19 @@ def analyze(partition_keys, order_keys, valid) -> WindowCtx:
     """Sort + boundary analysis shared by all functions of one window."""
     n = valid.shape[0]
     spart, sorder, perm = _sort_by(partition_keys, order_keys, valid)
+    valid_sorted = jnp.take(valid, perm)
+    # the invalid tail forms its own partition even when its partition-key
+    # values continue the last valid partition (masked rows must never
+    # extend a live partition's seg_end/last_peer)
+    vchange = jnp.concatenate(
+        [jnp.zeros(1, jnp.bool_), valid_sorted[1:] != valid_sorted[:-1]])
     if partition_keys:
-        starts = _change_flags(spart, n)
+        starts = _change_flags(spart, n) | vchange
     else:
-        starts = jnp.zeros(n, jnp.bool_).at[0].set(True)
-    change = starts | (_change_flags(sorder, n) if sorder
-                       else jnp.ones(n, jnp.bool_))
+        starts = jnp.zeros(n, jnp.bool_).at[0].set(True) | vchange
+    # no ORDER BY: all partition rows are peers (ADVICE r3 — all-ones made
+    # rank() behave like row_number())
+    change = (starts | _change_flags(sorder, n)) if sorder else starts
     pos = jnp.arange(n, dtype=jnp.int64)
     seg_start = jax.lax.cummax(jnp.where(starts, pos, 0), axis=0)
     # last position of a run: the next flag position minus one, found by a
@@ -97,7 +107,7 @@ def analyze(partition_keys, order_keys, valid) -> WindowCtx:
     last_peer = last_of_run(change)
     seg_id = jnp.cumsum(starts.astype(jnp.int64)) - 1
     return WindowCtx(n, perm, starts, change, seg_start, seg_end,
-                     last_peer, seg_id, jnp.take(valid, perm))
+                     last_peer, seg_id, valid_sorted)
 
 
 def _seg_running_sum(ctx: WindowCtx, values):
@@ -180,11 +190,21 @@ def first_value(ctx: WindowCtx, values):
     return ctx.scatter_back(jnp.take(v_sorted, ctx.seg_start, axis=0))
 
 
-def last_value(ctx: WindowCtx, values, whole_partition: bool = False):
-    """Default frame: value at the row's last PEER (reference RANGE frame
-    semantics); whole_partition=True gives the partition's final value."""
+def last_value(ctx: WindowCtx, values, whole_partition: bool = False,
+               frame: str | None = None):
+    """last_value over the frame: 'range_upto' (default RANGE frame — the
+    row's last PEER), 'partition' (partition's final value), or 'rows_upto'
+    (an explicit ROWS ... CURRENT ROW frame — the current row itself, NOT
+    the last peer; ADVICE r3)."""
+    if frame is None:
+        frame = "partition" if whole_partition else "range_upto"
     v_sorted = ctx.take(values)
-    at = ctx.seg_end if whole_partition else ctx.last_peer
+    if frame == "rows_upto":
+        at = jnp.arange(ctx.n, dtype=jnp.int64)
+    elif frame == "partition":
+        at = ctx.seg_end
+    else:
+        at = ctx.last_peer
     return ctx.scatter_back(jnp.take(v_sorted, at, axis=0))
 
 

@@ -108,7 +108,7 @@ def make_pipelined_join_step(mesh, build_quota: int, probe_quota: int,
             return ck, cval, cvld, ovf
 
         def probe_chunk(ek, ev, evd):
-            entry = join_ops._probe_kernel(ht_keys, ht_entry, ek, evd, size)
+            entry = join_ops._probe_kernel(ht_keys, counts, ek, evd, size)
             found = entry >= 0
             safe = jnp.maximum(entry, 0)
             joined = jnp.where(found, bval[srows[starts[safe]]], 0)
@@ -168,7 +168,7 @@ def make_partitioned_join_step(mesh, build_quota: int, probe_quota: int):
             size *= 2
         ht_keys, ht_entry, starts, counts, srows, _ = join_ops._build_kernel(
             bk, bvld, size, bk.shape[0])
-        entry = join_ops._probe_kernel(ht_keys, ht_entry, pk2, pvld, size)
+        entry = join_ops._probe_kernel(ht_keys, counts, pk2, pvld, size)
         found = entry >= 0
         safe = jnp.maximum(entry, 0)
         joined_bval = jnp.where(found, bval[srows[starts[safe]]], 0)

@@ -88,6 +88,9 @@ class ExecContext:
         self.config = config
         self.profiler = profiler
         self.traced = traced
+        # verification leg 3: disable direct-address/fused fast paths so the
+        # generic operator paths independently confirm results
+        self.verify_mode = False
         # traced mode: per-scan input arrays injected by the executor
         self.scan_inputs: dict[int, dict] = {}
         # traced runtime assertions (name, scalar) verified host-side after run
@@ -449,9 +452,11 @@ def _combine_keys(ctx, rel: Relation, names: list[str]):
     (collision safety), mirroring the reference's full-key
     ResolvePredicates after the salt prefilter (join_hashtable.cpp:768).
     """
-    key = rel.columns[names[0]].array.astype(jnp.int64)
+    # float keys go through the injective monotone int64 encoding so
+    # equality is exact (an int64 cast would conflate 2.5 and 2.4)
+    key = kernels.monotone_i64(rel.columns[names[0]].array)
     if len(names) == 2:
-        nxt = rel.columns[names[1]].array.astype(jnp.int64)
+        nxt = kernels.monotone_i64(rel.columns[names[1]].array)
         ok = jnp.all(jnp.where(rel.mask,
                                (nxt >= 0) & (nxt < jnp.int64(1) << 32),
                                True))
@@ -459,7 +464,7 @@ def _combine_keys(ctx, rel: Relation, names: list[str]):
         key = (key << jnp.int64(32)) + nxt
     elif len(names) > 2:
         for n in names[1:]:
-            nxt = rel.columns[n].array.astype(jnp.int64)
+            nxt = kernels.monotone_i64(rel.columns[n].array)
             key = kernels.hash64(key).astype(jnp.int64) * jnp.int64(2654435761) ^ nxt
     return key
 
@@ -561,14 +566,14 @@ class HashJoin(PhysicalOperator):
         build_rel = self.children[1].execute(ctx)
         if not hasattr(self, "_pk"):
             self.prepare(ctx)
-        if self._pk is not None and (self.single_match
-                                     or self.join_type in ("semi", "anti")):
+        if self._pk is not None and not ctx.verify_mode and (
+                self.single_match or self.join_type in ("semi", "anti")):
             build_row, found = self._pk_probe(ctx, probe_rel, build_rel)
             if self.join_type in ("semi", "anti"):
                 m = ~found if self.join_type == "anti" else found
                 return probe_rel.with_mask(m & probe_rel.mask)
             return self._gather_single(probe_rel, build_rel, build_row, found)
-        if self._reverse_pk is not None:
+        if self._reverse_pk is not None and not ctx.verify_mode:
             base, col, max_key = self._reverse_pk
             inputs = ctx.scan_inputs.get(id(self))
             lut = inputs["pk_lut"] if inputs is not None else \
@@ -595,7 +600,8 @@ class HashJoin(PhysicalOperator):
             m = join_ops.semi_mask(bs, pkey, probe_rel.mask,
                                    anti=self.join_type == "anti")
             return probe_rel.with_mask(m)
-        if self.single_match and not getattr(self, "_force_expand", False):
+        if self.single_match and not getattr(self, "_force_expand", False) \
+                and not ctx.verify_mode:
             entry = join_ops.probe(bs, pkey, probe_rel.mask)
             found = entry >= 0
             safe_e = jnp.maximum(entry, 0)
@@ -776,12 +782,22 @@ class RangeJoin(PhysicalOperator):
         pt = probe_rel.evaluate(pe)
         bvalid = build_rel.mask if bt.valid is None \
             else build_rel.mask & bt.valid
-        bv = bt.array.astype(jnp.int64)
+        # float-valued conditions compare in double space via the monotone
+        # int64 encoding (int64 casts truncated DOUBLE condition values);
+        # mixed int/float sides both promote to float64 first
+        floating = (jnp.issubdtype(bt.array.dtype, jnp.floating)
+                    or jnp.issubdtype(pt.array.dtype, jnp.floating))
+        if floating:
+            big = jnp.int64(jnp.iinfo(jnp.int64).max)
+            bv = kernels.monotone_i64(bt.array.astype(jnp.float64))
+            pv = kernels.monotone_i64(pt.array.astype(jnp.float64))
+        else:
+            bv = bt.array.astype(jnp.int64)
+            pv = pt.array.astype(jnp.int64)
         sort_key = jnp.where(bvalid, bv, big)     # invalid rows sort last
         order = jnp.argsort(sort_key)
         sorted_vals = sort_key[order]
         nb = jnp.sum(bvalid).astype(jnp.int32)
-        pv = pt.array.astype(jnp.int64)
         lo = jnp.searchsorted(sorted_vals, pv, side="left").astype(jnp.int32)
         hi = jnp.searchsorted(sorted_vals, pv, side="right").astype(jnp.int32)
         if op == "<":          # probe < build: strictly-greater suffix
@@ -909,8 +925,10 @@ class GroupAggregate(PhysicalOperator):
 
     def _self_signature(self):
         aggs = ";".join(f"{a.kind}:{a.name}:{a.expr!r}" for a in self.aggregates)
+        pal = getattr(self, "_pallas", None)
         return (f"group_aggregate[{self.keys};{self.carry};{aggs};"
-                f"fk={getattr(self, '_fk_dense', None)}]")
+                f"fk={getattr(self, '_fk_dense', None)};"
+                f"pal={None if pal is None else pal[0]}]")
 
     def prepare(self, ctx: ExecContext):
         super().prepare(ctx)
@@ -929,14 +947,17 @@ class GroupAggregate(PhysicalOperator):
                 if pk is not None:
                     self._fk_dense = (pk_table, pk_col, pk.max_key,
                                       table.capacity)
+        self._prepare_pallas(ctx)
 
     def _execute(self, ctx):
-        fused = self._fused_scan_sum(ctx)
+        fused = None if ctx.verify_mode else self._fused_scan_sum(ctx)
         if fused is not None:
             return fused
         rel = self.children[0].execute(ctx)
         if not hasattr(self, "_fk_dense"):
             self.prepare(ctx)
+        if ctx.verify_mode:
+            self._fk_dense = None
         # unroll-vs-scatter strategy threshold (SET small_group_limit)
         self._small = (ctx.config.small_group_limit
                        if ctx.config is not None else kernels.SMALL_GROUP_LIMIT)
@@ -998,7 +1019,8 @@ class GroupAggregate(PhysicalOperator):
             rep = None
         else:
             key_arrays = tuple(
-                rel.columns[k].array.astype(jnp.int64) for k in self.keys)
+                kernels.monotone_i64(rel.columns[k].array)
+                for k in self.keys)
             gk = groupby_ops.group_by_sort(key_arrays, rel.mask, rel.capacity)
             gids, valid, num_groups, rep = (
                 gk.group_ids, gk.valid, rel.capacity, gk.rep_rows)
@@ -1006,21 +1028,14 @@ class GroupAggregate(PhysicalOperator):
                                              num_groups, rep)
         return Relation(out_cols, out_mask, num_groups)
 
-    def _fused_scan_sum(self, ctx):
-        """Fused bitmap-scan + ungrouped SUM — the Q6 hot path.
+    def _fused_pattern(self, ctx):
+        """Host-side check for the fused bitmap-scan + SUM pattern.
 
-        When the child is a pure index scan (every predicate answered by
-        CUBIT bitvectors, reference row_group.cpp:448's filter-column-first
-        discipline taken to its limit) and the aggregate is sum(col) or
-        sum(col*col), the whole pipeline compiles to ONE fused XLA loop:
-        predicate words -> per-row bits (broadcast+shift, never a
-        materialized row mask) -> int32 product -> exact two-level
-        (hi16, lo16) block sums.  Minimum HBM traffic: words/8 + payload
-        bytes per row — no mask write/read, no int64 elementwise pass.
-        int32 arithmetic safety is proven host-side from the columns' zone
-        maps (the analog of the reference's statistics-driven perfect-hash
-        decisions); falls back to the generic path otherwise.
-        """
+        Matches `SUM(col)` / `SUM(a*b)` over a pure index scan (every
+        predicate answered by CUBIT bitvectors).  Returns the host facts
+        the fused paths need, or None.  Value bounds come from zone maps
+        (the analog of the reference's statistics-driven perfect-hash
+        decisions)."""
         if self.keys or len(self.aggregates) != 1:
             return None
         agg = self.aggregates[0]
@@ -1052,7 +1067,7 @@ class GroupAggregate(PhysicalOperator):
         if table.capacity % 8192 != 0:
             return None
         scale = 0
-        prod_max = 1
+        maxes = []
         nonneg = True
         for cn in col_names:
             c = table.columns.get(cn)
@@ -1066,36 +1081,117 @@ class GroupAggregate(PhysicalOperator):
             lo = int(c.zone_map.mins.min())
             hi = int(c.zone_map.maxs.max())
             nonneg &= lo >= 0
-            prod_max *= max(abs(lo), abs(hi), 1)
+            maxes.append(max(abs(lo), abs(hi), 1))
+        prod_max = 1
+        for m in maxes:
+            prod_max *= m
         if getattr(child, "_mask8", None) is None:
             return None
+        return {"agg": agg, "child": child, "table": table,
+                "cols": col_names, "scale": scale, "maxes": maxes,
+                "nonneg": nonneg, "prod_max": prod_max}
+
+    def _prepare_pallas(self, ctx):
+        """Prepare the Pallas fused-scan instance: bit-plane-packed words
+        and (when ranges allow) the packed payload column — device work
+        done ONCE per prepared plan, off the execution hot path."""
+        from ..ops import pallas_kernels as pk
+
+        self._pallas = None
+        if ctx.config is not None and not ctx.config.use_pallas:
+            return
+        if not pk.pallas_available():
+            return
+        if getattr(ctx.catalog, "placement", "default") != "default":
+            # mesh-sharded catalogs run the GSPMD whole-plan path; a
+            # single-chip pallas_call would conflict with the sharding
+            return
+        info = self._fused_pattern(ctx)
+        if info is None or not info["nonneg"] or info["prod_max"] >= 2**31:
+            return
+        table, cols, maxes = info["table"], info["cols"], info["maxes"]
+        arrays = [table.columns[cn].data for cn in cols]
+        if any(a.dtype != jnp.int32 for a in arrays):
+            return
+        # pack two columns into one int32 stream when ranges allow
+        # (wider column low, narrower high)
+        packed = None
+        if len(cols) == 2:
+            wide, narrow = (0, 1) if maxes[0] >= maxes[1] else (1, 0)
+            if maxes[wide] < 2**24 and maxes[narrow] < 2**8:
+                packed = pk.pack_columns(arrays[wide], arrays[narrow])
+        plan = pk.plan_fused_scan(table.capacity, info["prod_max"],
+                                  packed is not None)
+        if plan is None:
+            return
+        planes = pk.plane_pack(bm.expand(info["child"]._words,
+                                         table.capacity), plan)
+        self._pallas = (plan, planes, packed)
+
+    def _fused_scan_sum(self, ctx):
+        """Fused bitmap-scan + ungrouped SUM — the Q6 hot path.
+
+        Two implementations, picked at prepare time:
+         - Pallas bit-plane kernel (ops/pallas_kernels.py): packed words
+           (0.125 B/row) + packed int32 payload (4 B/row) — measured ~828
+           GB/s effective on v5e, ~2x the 8.125 B/row uncompressed-traffic
+           roofline model;
+         - XLA fallback (CPU, verify mode, unprovable bounds): byte mask
+           (1 B/row, expanded once at prepare) x int32/int64 product with
+           exact accumulation.
+        """
+        info = self._fused_pattern(ctx)
+        if info is None:
+            return None
+        agg, child, table = info["agg"], info["child"], info["table"]
+        col_names, scale = info["cols"], info["scale"]
+        if not hasattr(self, "_pallas"):
+            self._prepare_pallas(ctx)
         inputs = ctx.scan_inputs.get(id(child))
-        if inputs is not None:
-            arrays = [inputs["cols"][cn] for cn in col_names]
-            mask8 = inputs.get("mask8")
-            if mask8 is None:
-                return None
+        my_inputs = ctx.scan_inputs.get(id(self))
+        if self._pallas is not None:
+            from ..ops import pallas_kernels as pk
+
+            plan, planes, packed = self._pallas
+            if my_inputs is not None:
+                planes = my_inputs.get("pallas_words", planes)
+                packed = my_inputs.get("pallas_packed", packed)
+            if plan.packed:
+                payloads = [packed]
+            elif inputs is not None:
+                payloads = [inputs["cols"][cn] for cn in col_names]
+            else:
+                payloads = [table.columns[cn].data for cn in col_names]
+            total = pk.fused_scan_sum(planes, payloads, plan)
+            words = inputs.get("words") if inputs is not None \
+                else child._words
+            cnt = jnp.sum(jax.lax.population_count(words).astype(jnp.int64))
         else:
-            arrays = [table.columns[cn].data for cn in col_names]
-            mask8 = child._mask8
-        int32_ok = (nonneg and prod_max < 2**31
-                    and all(a.dtype == jnp.int32 for a in arrays))
-        if int32_ok:
-            # ONE fused multiply-reduce pass: 1 B/row mask + int32 payload;
-            # int64 accumulation (2x int32 lanes) keeps exactness without a
-            # separate hi/lo pass
-            val = arrays[0] * mask8.astype(jnp.int32)
-            for a in arrays[1:]:
-                val = val * a
-            total = jnp.sum(val.astype(jnp.int64))
-        else:
-            mask = mask8.astype(jnp.bool_)
-            val = arrays[0].astype(jnp.int64)
-            for a in arrays[1:]:
-                val = val * a.astype(jnp.int64)
-            hi, lo = kernels.masked_sum_exact(val, mask)
-            total = (hi << jnp.int64(32)) + lo
-        cnt = jnp.sum(mask8.astype(jnp.int32), dtype=jnp.int64)
+            if inputs is not None:
+                arrays = [inputs["cols"][cn] for cn in col_names]
+                mask8 = inputs.get("mask8")
+                if mask8 is None:
+                    return None
+            else:
+                arrays = [table.columns[cn].data for cn in col_names]
+                mask8 = child._mask8
+            int32_ok = (info["nonneg"] and info["prod_max"] < 2**31
+                        and all(a.dtype == jnp.int32 for a in arrays))
+            if int32_ok:
+                # ONE fused multiply-reduce pass: 1 B/row mask + int32
+                # payload; int64 accumulation keeps exactness
+                val = arrays[0] * mask8.astype(jnp.int32)
+                for a in arrays[1:]:
+                    val = val * a
+                total = jnp.sum(val.astype(jnp.int64))
+            else:
+                mask = mask8.astype(jnp.bool_)
+                val = arrays[0].astype(jnp.int64)
+                for a in arrays[1:]:
+                    val = val * a.astype(jnp.int64)
+                hi, lo = kernels.masked_sum_exact(val, mask)
+                total = (hi << jnp.int64(32)) + lo
+            cnt = jnp.sum(mask8.astype(jnp.int32), dtype=jnp.int64)
         dt = DataType(TypeId.DECIMAL, scale) if scale else INT64
         out = {agg.name: RelColumn(total[None], dt, None)}
         # sum over an empty input is NULL -> zero result rows (matches the
@@ -1212,13 +1308,18 @@ class GroupAggregate(PhysicalOperator):
             if agg.kind == "avg":
                 s = s / jnp.maximum(nonnull, 1).astype(jnp.float64)
             return RelColumn(s, DOUBLE, None, valid=out_valid)
-        if agg.kind == "min":
-            r = kernels.segment_minmax(gids, t.array, avalid, num_groups,
-                                       jnp.int64(2**62), want_max=False)
-            return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
-        if agg.kind == "max":
-            r = kernels.segment_minmax(gids, t.array, avalid, num_groups,
-                                       jnp.int64(-(2**62)), want_max=True)
+        if agg.kind in ("min", "max"):
+            # float values go through the monotone int64 encoding so the
+            # int64 min/max machinery is exact; empty-group sentinels use
+            # the int64 extremes (encoded doubles span nearly all of int64)
+            floating = jnp.issubdtype(t.array.dtype, jnp.floating)
+            enc = kernels.monotone_i64(t.array)
+            want_max = agg.kind == "max"
+            sentinel = jnp.int64(jnp.iinfo(jnp.int64).min if want_max
+                                 else jnp.iinfo(jnp.int64).max)
+            r = kernels.segment_minmax(gids, enc, avalid, num_groups,
+                                       sentinel, want_max=want_max)
+            r = kernels.monotone_i64_inverse(r, floating)
             return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
         raise ValueError(agg.kind)
 
@@ -1287,15 +1388,18 @@ class GroupAggregate(PhysicalOperator):
             if agg.kind == "avg":
                 s = s / jnp.maximum(nonnull, 1).astype(jnp.float64)
             return RelColumn(s, DOUBLE, None, valid=out_valid)
-        if agg.kind == "min":
-            r = kernels.group_min(gids, t.array.astype(jnp.int64), avalid,
-                                  num_groups, jnp.int64(2**62),
-                                  small_limit=self._small)
-            return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
-        if agg.kind == "max":
-            r = kernels.group_max(gids, t.array.astype(jnp.int64), avalid,
-                                  num_groups, jnp.int64(-(2**62)),
-                                  small_limit=self._small)
+        if agg.kind in ("min", "max"):
+            floating = jnp.issubdtype(t.array.dtype, jnp.floating)
+            enc = kernels.monotone_i64(t.array)
+            if agg.kind == "min":
+                r = kernels.group_min(gids, enc, avalid, num_groups,
+                                      jnp.int64(jnp.iinfo(jnp.int64).max),
+                                      small_limit=self._small)
+            else:
+                r = kernels.group_max(gids, enc, avalid, num_groups,
+                                      jnp.int64(jnp.iinfo(jnp.int64).min),
+                                      small_limit=self._small)
+            r = kernels.monotone_i64_inverse(r, floating)
             return RelColumn(r, t.dtype, t.dictionary, valid=out_valid)
         raise ValueError(agg.kind)
 
@@ -1331,14 +1435,19 @@ class GroupAggregate(PhysicalOperator):
                     s = s / jnp.maximum(jnp.sum(amask), 1)
                 out_cols[agg.name] = RelColumn(s[None], DOUBLE, None,
                                                valid=out_valid)
-            elif agg.kind == "min":
-                v = jnp.where(amask, t.array.astype(jnp.int64), jnp.int64(2**62))
-                out_cols[agg.name] = RelColumn(jnp.min(v)[None], t.dtype,
-                                               t.dictionary, valid=out_valid)
-            elif agg.kind == "max":
-                v = jnp.where(amask, t.array.astype(jnp.int64),
-                              jnp.int64(-(2**62)))
-                out_cols[agg.name] = RelColumn(jnp.max(v)[None], t.dtype,
+            elif agg.kind in ("min", "max"):
+                floating = jnp.issubdtype(t.array.dtype, jnp.floating)
+                enc = kernels.monotone_i64(t.array)
+                if agg.kind == "min":
+                    v = jnp.where(amask, enc,
+                                  jnp.int64(jnp.iinfo(jnp.int64).max))
+                    r = jnp.min(v)
+                else:
+                    v = jnp.where(amask, enc,
+                                  jnp.int64(jnp.iinfo(jnp.int64).min))
+                    r = jnp.max(v)
+                r = kernels.monotone_i64_inverse(r, floating)
+                out_cols[agg.name] = RelColumn(r[None], t.dtype,
                                                t.dictionary, valid=out_valid)
             else:
                 raise ValueError(agg.kind)
@@ -1512,12 +1621,18 @@ class Window(PhysicalOperator):
         return True
 
     def _key_arrays(self, rel):
-        parts = tuple(rel.columns[k].array.astype(jnp.int64)
+        # float keys go through the monotone int64 encoding (ADVICE r3:
+        # int64 casts silently truncated DOUBLE partition/order keys)
+        parts = tuple(kernels.monotone_i64(rel.columns[k].array)
                       for k in self.partition_by)
         orders = []
         for k, desc in self.order_by:
-            a = rel.columns[k].array.astype(jnp.int64)
-            orders.append(-a if desc else a)
+            a = rel.columns[k].array
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                orders.append(kernels.monotone_i64(-a if desc else a))
+            else:
+                a = a.astype(jnp.int64)
+                orders.append(-a if desc else a)
         return parts, tuple(orders)
 
     def _execute(self, ctx):
@@ -1547,9 +1662,7 @@ class Window(PhysicalOperator):
                 if f.kind == "first_value":
                     out = W.first_value(wctx, t.array)
                 else:
-                    out = W.last_value(
-                        wctx, t.array,
-                        whole_partition=(frame == "partition"))
+                    out = W.last_value(wctx, t.array, frame=frame)
                 cols[f.name] = RelColumn(out, t.dtype, t.dictionary)
             elif f.kind == "count" and f.expr is None:
                 out, _ = W.agg(wctx, "count", None, None, frame)

@@ -1204,6 +1204,12 @@ class Binder:
             pop = node.name.endswith("_pop")
             denom = (n * n) if pop else (n * (n - E.Lit(1)))
             var = (n * ss - s * s) / denom
+            # var_samp over n<=1 rows (var_pop over 0) is NULL, not 0/0=NaN
+            # (reference STDDEV finalize, core_functions/aggregate/
+            # distributive/stddev.cpp); numerical cancellation can also
+            # drive the identity a hair negative — clamp at 0
+            var = E.ValidIf(E.Case(var > E.Lit(0.0), var, E.Lit(0.0)),
+                            n > E.Lit(0 if pop else 1))
             if node.name.startswith("var"):
                 return var
             return E.MathFn("sqrt", var)

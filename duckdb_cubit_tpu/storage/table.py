@@ -17,6 +17,7 @@ rendering.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 
 import jax.numpy as jnp
 import numpy as np
@@ -100,6 +101,12 @@ class Table:
     # shape decisions are invalidated exactly when data changes (the analog
     # of the reference's statement re-planning on catalog version bumps)
     version: int = 0
+    # process-unique id: distinguishes same-named tables from DIFFERENT
+    # catalogs in the executor's class-level caches (name+version+num_rows
+    # alone collide across independently-built catalogs)
+    uid: int = dataclasses.field(default_factory=lambda: next(Table._UIDS))
+
+    _UIDS = itertools.count()
 
     def column(self, name: str) -> Column:
         return self.columns[name]

@@ -50,10 +50,17 @@ class Connection:
         self.catalog = catalog if catalog is not None else Catalog()
         self.config = config if config is not None else EngineConfig()
         self.mesh = mesh
-        if mesh is not None and self.catalog.tables:
-            from .parallel.shard import shard_catalog
+        if mesh is not None:
+            if self.catalog.tables:
+                from .parallel.shard import shard_catalog
 
-            self.catalog = shard_catalog(self.catalog, mesh)
+                self.catalog = shard_catalog(self.catalog, mesh)
+            else:
+                # tables arrive later via register_numpy (shard_table);
+                # mark the catalog as mesh-placed now so plan caches and
+                # the exchange lowering see the placement
+                self.catalog.placement = f"mesh{mesh.devices.size}:{id(mesh)}"
+                self.catalog.mesh = mesh
         self.executor = Executor(self.catalog, self.config)
         self.binder = Binder(self.catalog, self.executor)
         self._txn_snapshot = None

@@ -26,6 +26,13 @@ class EngineConfig:
     # distributed execution
     exchange_quota_slack: float = 2.0   # per-destination quota = slack * mean
     mesh_axis: str = "d"
+    # explicit radix-exchange join lowering on mesh catalogs: route both
+    # sides through a shard_map all_to_all and join shard-locally instead
+    # of letting GSPMD choose collectives (reference analog:
+    # HashJoinRepartitionTask, physical_hash_join.cpp:373); applied to
+    # equi joins whose build side has >= exchange_min_build_rows rows
+    explicit_exchange: bool = True
+    exchange_min_build_rows: int = 1 << 22
     # staged execution: compile one program per pipeline, compact relations
     # at stage boundaries (default); False = single whole-plan XLA program
     staged_execution: bool = True
@@ -35,8 +42,13 @@ class EngineConfig:
     # verification / debugging (analog of PRAGMA enable_verification)
     enable_verification: bool = False   # run eager + compiled, compare
     profile: bool = False
-    # memory budget per chip for out-of-core decisions (bytes)
+    # memory budget per chip for out-of-core decisions (bytes); stages whose
+    # estimated working set exceeds it run multi-pass (chunked scan +
+    # partial-aggregate merge)
     memory_limit: int = 12 << 30
+    # force multi-pass execution regardless of size (reference
+    # client_config.hpp:79 force_external; used by out-of-core tests)
+    force_external: bool = False
 
     def set(self, name: str, value):
         if not hasattr(self, name):
@@ -59,4 +71,5 @@ class EngineConfig:
         return (self.index_scan_percentage, self.index_scan_max_count,
                 self.small_group_limit, self.dense_domain_limit,
                 self.join_expansion_factor, self.memory_limit,
-                self.use_pallas)
+                self.use_pallas, self.force_external,
+                self.explicit_exchange, self.exchange_min_build_rows)

@@ -16,6 +16,8 @@ import copy
 import dataclasses
 from collections import OrderedDict
 
+import numpy as np
+
 from ..plan import optimizer as opt
 from ..plan.physical import ExecContext, PhysicalOperator, Relation
 from .profiler import QueryProfiler
@@ -111,6 +113,8 @@ class Executor:
         # capacity-retry diagnostics: how many staged-stage retries (capacity
         # regrows / single-match fallbacks) this executor has performed
         self.retry_count = 0
+        # out-of-core diagnostics: chunk passes executed
+        self.external_passes = 0
 
     @staticmethod
     def _cache_put(cache, key, value):
@@ -414,6 +418,9 @@ class Executor:
             if compactable:
                 r = self._compact_relation(r)
             brels.append(r)
+        chunk = self._chunk_plan(op, bindex)
+        if chunk is not None:
+            return self._run_stage_chunked(op, bounds, bindex, brels, chunk)
         failed: list = []
         for _attempt in range(9):
             jitted, arrays, meta_box = self._compile_stage(
@@ -454,9 +461,168 @@ class Executor:
             elif kind == "unique":
                 target._force_expand = True
                 changed = True
+            elif kind == "exq":
+                # radix-exchange bucket overflow: double the per-destination
+                # quotas (SetRepartitionRadixBits analog)
+                grew = False
+                for attr in ("_exq_build", "_exq_probe"):
+                    cur = getattr(target, attr, None)
+                    if cur:
+                        setattr(target, attr, cur * 2)
+                        grew = True
+                if not grew:
+                    return False
+                changed = True
             else:
                 return False
         return changed
+
+    # ------------------------------------------- out-of-core (multi-pass)
+    def _chunk_plan(self, root, bindex):
+        """Decide whether this stage runs multi-pass (out-of-core).
+
+        The analog of the reference's memory-budgeted external aggregate
+        (radix_partitioned_hashtable.cpp:115-144 spilling partitions,
+        temporary_memory_manager.cpp): when the stage's estimated working
+        set exceeds `memory_limit` (or `force_external` is set), the
+        driving table scan is split into row-range chunks, the stage runs
+        once per chunk producing partial aggregates, and a merge pass
+        re-aggregates the concatenated partials.  Returns
+        (scan, n_chunks, (partial_root, materialized, merge_root)) or None.
+        """
+        cfg = self.config
+        if cfg is None:
+            return None
+        if not cfg.force_external and cfg.memory_limit <= 0:
+            return None
+        from ..plan.physical import GroupAggregate, TableScan
+        if not isinstance(root, GroupAggregate) or not root.aggregates:
+            return None
+        if getattr(self.catalog, "placement", "default") != "default":
+            return None
+        stage_ops = self._stage_ops(root, bindex)
+        scans = [o for o in stage_ops if isinstance(o, TableScan)]
+        if len(scans) != 1:
+            return None
+        scan = scans[0]
+        if getattr(scan, "_decode_cap", None) is not None:
+            return None
+        table = self.catalog.table(scan.table_name)
+        col_bytes = sum(
+            int(np.dtype(table.columns[c].data.dtype).itemsize)
+            * table.capacity for c in scan.needed_columns(table))
+        est = col_bytes * 4          # columns + masks/products intermediates
+        if cfg.force_external:
+            n = 4
+        elif est > cfg.memory_limit:
+            n = 2
+            while est / n > cfg.memory_limit:
+                n *= 2
+        else:
+            return None
+        if table.capacity // n < 8192:
+            n = max(1, table.capacity // 8192)
+        if n <= 1:
+            return None
+        split = self._split_aggregate(root)
+        if split is None:
+            return None
+        return scan, n, split
+
+    def _split_aggregate(self, agg):
+        """Rewrite a GroupAggregate into (partial, materialized, merge):
+        chunk-local partials then a re-aggregation over their union —
+        the two-phase decomposition the reference's radix-partitioned
+        aggregate uses between thread-local tables and finalize."""
+        from ..ops.expressions import Col as ECol
+        from ..plan.physical import (Aggregate, GroupAggregate, Materialized,
+                                     Project)
+
+        partial_aggs, merge_aggs, out_exprs = [], [], {}
+        need_project = False
+        for k in agg.keys:
+            out_exprs[k] = k
+        for c in agg.carry:
+            out_exprs[c] = c
+        for a in agg.aggregates:
+            if a.kind == "avg":
+                s, c = a.name + "__ps", a.name + "__pc"
+                partial_aggs.append(Aggregate("sum", a.expr, s))
+                partial_aggs.append(Aggregate("count", a.expr, c))
+                merge_aggs.append(Aggregate("sum", ECol(s), s))
+                merge_aggs.append(Aggregate("sum", ECol(c), c))
+                out_exprs[a.name] = ECol(s) / ECol(c)
+                need_project = True
+            elif a.kind in ("sum", "sum_double", "min", "max", "count"):
+                partial_aggs.append(a)
+                kind = "sum" if a.kind == "count" else a.kind
+                merge_aggs.append(Aggregate(kind, ECol(a.name), a.name))
+                out_exprs[a.name] = a.name
+            else:
+                return None
+        partial = GroupAggregate(agg.children[0], agg.keys, partial_aggs,
+                                 agg.carry, agg.dense_domain_limit)
+        # inherit resolved host decisions; the fused/pallas fast paths are
+        # full-table-shaped, so they stay off under chunking
+        partial._fk_dense = getattr(agg, "_fk_dense", None)
+        partial._pallas = None
+        mat = Materialized()
+        merge = GroupAggregate(mat, agg.keys, merge_aggs, agg.carry,
+                               agg.dense_domain_limit)
+        merge._fk_dense = None
+        merge._pallas = None
+        root = Project(merge, out_exprs) if need_project else merge
+        return partial, mat, root
+
+    def _run_stage_chunked(self, root, bounds, bindex, brels, chunk):
+        import jax.numpy as jnp
+
+        from ..plan.physical import ExecContext, RelColumn, Relation
+
+        scan, n_chunks, (partial_root, mat, merge_root) = chunk
+        table = self.catalog.table(scan.table_name)
+        cap = table.capacity
+        chunk_cap = (-(-cap // n_chunks) + 8191) // 8192 * 8192
+        self.external_passes = getattr(self, "external_passes", 0)
+        partials = []
+        lo = 0
+        while lo < cap:
+            hi = min(lo + chunk_cap, cap)
+            row_limit = max(0, min(table.num_rows - lo, hi - lo))
+            jitted, arrays, meta_box = self._compile_stage(
+                partial_root, bounds, bindex, brels,
+                chunk=(scan, lo, hi, row_limit))
+            rel = self._run_compiled(jitted, arrays, meta_box)
+            failed = [n for n, ok in rel.checks if not bool(ok)]
+            if failed:
+                raise RuntimeError(
+                    f"runtime check failed in external pass: {failed}")
+            partials.append(rel)
+            self.external_passes += 1
+            lo = hi
+        # concatenate partials and run the merge pass (eager; partials are
+        # group-sized, far below the chunk working set)
+        names = list(partials[0].columns.keys())
+        mask = jnp.concatenate([p.mask for p in partials])
+        cols = {}
+        for n in names:
+            parts = [p.columns[n] for p in partials]
+            arr = jnp.concatenate([c.array for c in parts])
+            valid = None
+            if any(c.valid is not None for c in parts):
+                valid = jnp.concatenate([
+                    c.valid if c.valid is not None
+                    else jnp.ones(c.array.shape[0], jnp.bool_)
+                    for c in parts])
+            c0 = parts[0]
+            cols[n] = RelColumn(arr, c0.dtype, c0.dictionary, c0.domain,
+                                valid)
+        concat = Relation(cols, mask, int(mask.shape[0]))
+        ctx = ExecContext(self.catalog, self.config)
+        ctx._cache[id(mat)] = concat
+        out = merge_root.execute(ctx)
+        out.checks = []
+        return out
 
     _compact_cache: OrderedDict = OrderedDict()
 
@@ -498,13 +664,27 @@ class Executor:
                     for n, c, a, v in zip(names, cols, outs, vouts)}
         return Relation(new_cols, valid, cap)
 
-    def _compile_stage(self, root, bounds, bindex, brels):
+    def _compile_stage(self, root, bounds, bindex, brels, chunk=None):
         import jax
+        import jax.numpy as jnp
 
         from ..plan.physical import RelColumn, Relation
 
         stage_ops = self._stage_ops(root, bindex)
         spec, arrays = self._collect_inputs(stage_ops)
+        if chunk is not None:
+            # out-of-core pass: slice the driving scan's inputs to the
+            # chunk row range; the live-row count rides as a device scalar
+            scan, lo, hi, row_limit = chunk
+            sliced = []
+            for (op, kind, name), arr in zip(spec, arrays):
+                if op is scan and kind in ("col", "mask8", "deleted"):
+                    arr = arr[lo:hi]
+                elif op is scan and kind == "words":
+                    arr = arr[lo // 32:hi // 32]
+                sliced.append(arr)
+            spec = spec + [(scan, "row_limit", None)]
+            arrays = sliced + [jnp.asarray(row_limit, jnp.int64)]
         bmeta = []   # per boundary: (names, [(dtype, dict, domain, has_valid)], cap)
         for (c, _), r in zip(bounds, brels):
             names = list(r.columns.keys())
@@ -530,11 +710,13 @@ class Executor:
             spec_shapes = [(s[0], s[1], s[2]) for s in spec]
             bound_ops = [c for c, _ in bounds]
             root_ref = root
+            chunked = chunk is not None
             tags = {id(o): i for i, o in enumerate(stage_ops)}
 
             def traced(args):
                 ctx = ExecContext(self.catalog, self.config, None, traced=True)
                 ctx.check_tags = tags
+                ctx.no_fused = chunked
                 pos = 0
                 for op, kind, name in spec_shapes:
                     arr = args[pos]

@@ -486,6 +486,21 @@ class Case(Expr):
 
 
 @dataclasses.dataclass(eq=False)
+class IsNull(Expr):
+    """IS NULL: true where the child's validity mask is unset.  The result
+    itself is never NULL (three-valued logic collapses here)."""
+    child: Expr
+
+    def eval(self, ctx):
+        t = self.child.eval(ctx)
+        if t.valid is None:
+            arr = t.array
+            n = jnp.shape(arr)[0] if jnp.ndim(arr) else ()
+            return Typed(jnp.zeros(n, jnp.bool_), BOOL, None)
+        return Typed(~t.valid, BOOL, None)
+
+
+@dataclasses.dataclass(eq=False)
 class ValidIf(Expr):
     """Result is NULL wherever `cond` is not true (keeps child's values).
 

@@ -81,4 +81,5 @@ def shard_catalog(catalog: Catalog, mesh: Mesh) -> Catalog:
         out.register(shard_table(t, mesh))
     out.foreign_keys = dict(catalog.foreign_keys)
     out.placement = f"mesh{mesh.devices.size}:{id(mesh)}"
+    out.mesh = mesh   # consumed by the explicit-exchange join lowering
     return out

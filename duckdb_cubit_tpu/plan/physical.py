@@ -331,7 +331,19 @@ class TableScan(PhysicalOperator):
             cols = {n: table.columns[n].data for n in self.needed_columns(table)}
             words = self._words
             deleted = getattr(table, "deleted", None)
-        base_mask = jnp.arange(table.capacity) < table.num_rows
+        row_limit = None
+        if inputs is not None:
+            row_limit = inputs.get("row_limit")
+        if row_limit is not None:
+            # out-of-core chunked scan: this program sees one chunk of the
+            # table; the live-row count within the chunk arrives as a
+            # device scalar so ONE compiled program serves every chunk
+            capacity = cols[next(iter(cols))].shape[0] if cols \
+                else table.capacity
+            base_mask = jnp.arange(capacity) < row_limit
+        else:
+            capacity = table.capacity
+            base_mask = jnp.arange(table.capacity) < table.num_rows
         if deleted is not None:
             base_mask = base_mask & ~deleted
         rel = Relation(
@@ -340,12 +352,12 @@ class TableScan(PhysicalOperator):
                           getattr(table.columns[n], "domain", None))
              for n in cols},
             base_mask,
-            table.capacity)
+            capacity)
         if getattr(self, "always_false", False):
             # statistics propagation proved the filters unsatisfiable
             # (zone-map global bounds, the analog of the reference's
             # StatisticsPropagator constant-folding, optimizer.cpp:102)
-            return rel.with_mask(jnp.zeros(table.capacity, jnp.bool_))
+            return rel.with_mask(jnp.zeros(capacity, jnp.bool_))
         mask = rel.mask
         if words is not None:
             mask = mask & bm.expand(words, rel.capacity)
@@ -485,11 +497,15 @@ def _exact_key_eq(probe_rel, build_rel, probe_keys, build_keys,
 class HashJoin(PhysicalOperator):
     """Hash equi-join (analog of PhysicalHashJoin, join_hashtable.cpp).
 
-    join_type: 'inner' | 'semi' | 'anti' | 'left'
+    join_type: 'inner' | 'semi' | 'anti' | 'left' | 'full'
     `single_match=True` is the PK-FK fast path: the probe relation's shape is
     preserved and build columns are gathered through the matched row (no
     expansion, mask narrows on miss).  The general path expands matches into
-    a fresh capacity.
+    a fresh capacity.  FULL OUTER always expands: unmatched probe rows get
+    NULL build columns (as LEFT) and unmatched build rows are appended as an
+    extra capacity segment with NULL probe columns (the analog of the
+    reference's right-side scan phase after probe,
+    physical_hash_join.cpp full-outer GetData).
     """
 
     name = "hash_join"
@@ -509,6 +525,8 @@ class HashJoin(PhysicalOperator):
         # left joins: expose the match flag as a named BOOL column (used by
         # decorrelated EXISTS rewrites)
         self.found_column = found_column
+        if join_type == "full" and found_column:
+            raise ValueError("found_column unsupported for FULL joins")
 
     def is_pipeline_breaker(self):
         return True
@@ -566,6 +584,19 @@ class HashJoin(PhysicalOperator):
         build_rel = self.children[1].execute(ctx)
         if not hasattr(self, "_pk"):
             self.prepare(ctx)
+        if not ctx.verify_mode:
+            from ..parallel import exchange_join as XJ
+
+            if XJ.eligible(self, ctx, probe_rel.capacity,
+                           build_rel.capacity):
+                # explicit radix-exchange lowering: both sides all_to_all
+                # to their hash owners, shard-local CSR join (no build
+                # replication); reference HashJoinRepartitionTask analog
+                self._exchange_used = True
+                pkey = self._join_keys(ctx, probe_rel, self.probe_keys)
+                bkey = self._join_keys(ctx, build_rel, self.build_keys)
+                return XJ.execute(ctx, self, probe_rel, build_rel, pkey,
+                                  bkey)
         if self._pk is not None and not ctx.verify_mode and (
                 self.single_match or self.join_type in ("semi", "anti")):
             build_row, found = self._pk_probe(ctx, probe_rel, build_rel)
@@ -601,7 +632,7 @@ class HashJoin(PhysicalOperator):
                                    anti=self.join_type == "anti")
             return probe_rel.with_mask(m)
         if self.single_match and not getattr(self, "_force_expand", False) \
-                and not ctx.verify_mode:
+                and not ctx.verify_mode and self.join_type != "full":
             entry = join_ops.probe(bs, pkey, probe_rel.mask)
             found = entry >= 0
             safe_e = jnp.maximum(entry, 0)
@@ -656,7 +687,7 @@ class HashJoin(PhysicalOperator):
         return Relation(cols, mask, probe_rel.capacity)
 
     def _expand(self, ctx, probe_rel, build_rel, bs, pkey):
-        left = self.join_type == "left"
+        left = self.join_type in ("left", "full")
         entry = join_ops.probe(bs, pkey, probe_rel.mask)
         cap = getattr(self, "_cap_override", None) or self.out_capacity
         if cap is None:
@@ -696,7 +727,44 @@ class HashJoin(PhysicalOperator):
                     c.domain, v)
         if left and self.found_column:
             cols[self.found_column] = RelColumn(matched & valid, BOOL, None)
+        if self.join_type == "full":
+            return self._append_unmatched_build(
+                probe_rel, build_rel, cols, valid, cap, out_build, matched)
         return Relation(cols, valid, cap)
+
+    def _append_unmatched_build(self, probe_rel, build_rel, cols, valid,
+                                cap, out_build, matched):
+        """FULL OUTER tail: build rows no probe row matched, appended as an
+        extra capacity segment with NULL probe columns."""
+        bcap = build_rel.capacity
+        tgt = jnp.where(matched & valid, jnp.maximum(out_build, 0), bcap)
+        hit = jnp.zeros(bcap + 1, jnp.bool_).at[tgt].set(
+            True, mode="drop")[:bcap]
+        extra_mask = build_rel.mask & ~hit
+        probe_names = set(probe_rel.columns)
+        out_cols = {}
+        for n, c in cols.items():
+            if n in probe_names:
+                pad = jnp.zeros(bcap, c.array.dtype)
+                arr = jnp.concatenate([c.array, pad])
+                head_v = c.valid if c.valid is not None \
+                    else jnp.ones(cap, jnp.bool_)
+                v = jnp.concatenate([head_v, jnp.zeros(bcap, jnp.bool_)])
+            else:
+                # build-origin column: strip the prefix to find the source
+                src = build_rel.columns[n[len(self.build_prefix):]
+                                        if n.startswith(self.build_prefix)
+                                        and n[len(self.build_prefix):]
+                                        in build_rel.columns else n]
+                arr = jnp.concatenate([c.array, src.array])
+                tail_v = src.valid if src.valid is not None \
+                    else jnp.ones(bcap, jnp.bool_)
+                head_v = c.valid if c.valid is not None \
+                    else jnp.ones(cap, jnp.bool_)
+                v = jnp.concatenate([head_v, tail_v])
+            out_cols[n] = RelColumn(arr, c.dtype, c.dictionary, c.domain, v)
+        out_mask = jnp.concatenate([valid, extra_mask])
+        return Relation(out_cols, out_mask, cap + bcap)
 
     def describe(self):
         return (f"hash_join({self.join_type}, {self.probe_keys}={self.build_keys},"
@@ -709,7 +777,10 @@ class HashJoin(PhysicalOperator):
                 f"pk={getattr(self, '_pk', None)};"
                 f"rpk={getattr(self, '_reverse_pk', None)};"
                 f"ov={getattr(self, '_cap_override', None)};"
-                f"fe={getattr(self, '_force_expand', False)}]")
+                f"fe={getattr(self, '_force_expand', False)};"
+                f"exq={getattr(self, '_exq_probe', None)},"
+                f"{getattr(self, '_exq_build', None)};"
+                f"exu={getattr(self, '_exchange_used', False)}]")
 
 
 def _cmp_arrays(a, op: str, b):
@@ -989,8 +1060,11 @@ class GroupAggregate(PhysicalOperator):
         # choose grouping strategy
         dense_sizes = []
         dense_codes = []
-        dense_ok = True
+        # NULLable keys can't use dense codes (NULL is its own group)
+        dense_ok = all(rel.columns[k].valid is None for k in self.keys)
         for k in self.keys:
+            if not dense_ok:
+                break
             c = rel.columns[k]
             if c.dtype.id == TypeId.VARCHAR and c.dictionary is not None:
                 dense_sizes.append(len(c.dictionary))
@@ -1018,10 +1092,20 @@ class GroupAggregate(PhysicalOperator):
             gids, valid = codes, rel.mask
             rep = None
         else:
-            key_arrays = tuple(
-                kernels.monotone_i64(rel.columns[k].array)
-                for k in self.keys)
-            gk = groupby_ops.group_by_sort(key_arrays, rel.mask, rel.capacity)
+            # NULL keys form one group: a leading null-flag key per
+            # nullable column, with the value normalized under NULL so
+            # garbage payloads don't split the group (SQL GROUP BY
+            # NULL-equality, reference grouped_aggregate_data.cpp)
+            key_arrays = []
+            for k in self.keys:
+                c = rel.columns[k]
+                enc = kernels.monotone_i64(c.array)
+                if c.valid is not None:
+                    key_arrays.append((~c.valid).astype(jnp.int64))
+                    enc = jnp.where(c.valid, enc, jnp.int64(0))
+                key_arrays.append(enc)
+            gk = groupby_ops.group_by_sort(tuple(key_arrays), rel.mask,
+                                           rel.capacity)
             gids, valid, num_groups, rep = (
                 gk.group_ids, gk.valid, rel.capacity, gk.rep_rows)
         out_cols, out_mask = self._aggregate(rel, evaluated, gids, valid,
@@ -1131,6 +1215,9 @@ class GroupAggregate(PhysicalOperator):
     def _fused_scan_sum(self, ctx):
         """Fused bitmap-scan + ungrouped SUM — the Q6 hot path.
 
+        Disabled under chunked (out-of-core) execution — the fused arrays
+        are planned at full-table shapes.
+
         Two implementations, picked at prepare time:
          - Pallas bit-plane kernel (ops/pallas_kernels.py): packed words
            (0.125 B/row) + packed int32 payload (4 B/row) — measured ~828
@@ -1140,6 +1227,8 @@ class GroupAggregate(PhysicalOperator):
            (1 B/row, expanded once at prepare) x int32/int64 product with
            exact accumulation.
         """
+        if getattr(ctx, "no_fused", False):
+            return None
         info = self._fused_pattern(ctx)
         if info is None:
             return None
@@ -1240,7 +1329,10 @@ class GroupAggregate(PhysicalOperator):
             for k in list(self.keys) + list(self.carry):
                 c = rel.columns[k]
                 out_cols[k] = RelColumn(
-                    jnp.take(c.array, safe_rep, axis=0), c.dtype, c.dictionary)
+                    jnp.take(c.array, safe_rep, axis=0), c.dtype,
+                    c.dictionary,
+                    valid=None if c.valid is None
+                    else jnp.take(c.valid, safe_rep, axis=0))
         for agg in self.aggregates:
             out_cols[agg.name] = self._one_agg(agg, evaluated, gids, valid,
                                                num_groups, counts)
@@ -1263,7 +1355,10 @@ class GroupAggregate(PhysicalOperator):
             for k in list(self.keys) + list(self.carry):
                 c = rel.columns[k]
                 out_cols[k] = RelColumn(
-                    jnp.take(c.array, safe_rep, axis=0), c.dtype, c.dictionary)
+                    jnp.take(c.array, safe_rep, axis=0), c.dtype,
+                    c.dictionary,
+                    valid=None if c.valid is None
+                    else jnp.take(c.valid, safe_rep, axis=0))
         for agg in self.aggregates:
             out_cols[agg.name] = self._one_agg_sorted(
                 agg, evaluated, gids, valid, num_groups, counts,
@@ -1708,6 +1803,145 @@ class Window(PhysicalOperator):
     def describe(self):
         return (f"window(partition={self.partition_by}, order={self.order_by},"
                 f" funcs={[f.kind for f in self.functions]})")
+
+
+class AsofJoin(PhysicalOperator):
+    """ASOF join (analog of PhysicalAsOfJoin, reference
+    src/execution/operator/join/physical_asof_join.cpp): each probe row
+    matches AT MOST ONE build row — the one with the greatest build time
+    <= the probe time (op '>=', the canonical form; '>' strict, and '<='/
+    '<' by negating both sides) among rows with equal equi-keys.
+
+    TPU design: no per-partition interpolation loops — the build side is
+    sorted ONCE by a composite (equi-key, time) int64 encoding and every
+    probe row finds its candidate with one vectorized searchsorted; a
+    gather re-checks key equality (the exact-match discipline of the hash
+    join's ResolvePredicates).  Probe shape is preserved (single-match):
+    'inner' narrows the mask on miss, 'left' NULL-extends build columns.
+
+    conditions: equi key column-name pairs + (probe_time_expr, op,
+    build_time_expr) with int-typed times.
+    """
+
+    name = "asof_join"
+
+    def __init__(self, probe, build, probe_keys, build_keys,
+                 probe_time: Expr, op: str, build_time: Expr,
+                 join_type: str = "inner", build_prefix: str = ""):
+        super().__init__([probe, build])
+        self.probe_keys = list(probe_keys)
+        self.build_keys = list(build_keys)
+        self.probe_time = probe_time
+        self.op = op
+        self.build_time = build_time
+        if join_type not in ("inner", "left"):
+            raise ValueError("ASOF join supports inner/left")
+        self.join_type = join_type
+        self.build_prefix = build_prefix
+
+    def is_pipeline_breaker(self):
+        return True
+
+    def blocking_children(self):
+        return [self.children[1]]
+
+    def _execute(self, ctx):
+        probe_rel = self.children[0].execute(ctx)
+        build_rel = self.children[1].execute(ctx)
+        pt = probe_rel.evaluate(self.probe_time)
+        bt = build_rel.evaluate(self.build_time)
+        ptv = kernels.monotone_i64(pt.array)
+        btv = kernels.monotone_i64(bt.array)
+        op = self.op
+        if op in ("<=", "<"):          # probe_t <= build_t: negate times
+            ptv, btv = -ptv, -btv
+            op = ">=" if op == "<=" else ">"
+        if op == ">":                  # strict: t_b <= t_p - 1 (int times)
+            ptv = ptv - 1
+        # composite (key, time) encoding: keys hashed-free via exact pack
+        # when single int key; multi-key uses the shared combiner (exact
+        # re-check below guards collisions)
+        pkey = _combine_keys(ctx, probe_rel, self.probe_keys) \
+            if self.probe_keys else jnp.zeros(probe_rel.capacity, jnp.int64)
+        bkey = _combine_keys(ctx, build_rel, self.build_keys) \
+            if self.build_keys else jnp.zeros(build_rel.capacity, jnp.int64)
+        bvalid = build_rel.mask
+        if bt.valid is not None:
+            bvalid = bvalid & bt.valid
+        bcap = build_rel.capacity
+        rows = jnp.arange(bcap, dtype=jnp.int32)
+        lead = (~bvalid).astype(jnp.int64)
+        _, sk, st, srows = jax.lax.sort((lead, bkey, btv, rows), num_keys=3)
+        nb = jnp.sum(bvalid).astype(jnp.int32)
+        big = jnp.int64(jnp.iinfo(jnp.int64).max)
+        pos_idx = jnp.arange(bcap, dtype=jnp.int32)
+        sk_valid = jnp.where(pos_idx < nb, sk, big)   # valid prefix only
+        st_valid = jnp.where(pos_idx < nb, st, big)
+        # rank-encode keys and times so the composite (key, time) fits one
+        # int64 regardless of raw value ranges: rank(x) = #values <= x is
+        # monotone, and x <= y <=> rank(x) <= rank(y) when x, y are both
+        # drawn from the ranked set (times: probe ranks use side='right'
+        # so st <= ptv <=> rank(st) <= rank(ptv) exactly)
+        ts = jnp.sort(st_valid)
+        krb = jnp.searchsorted(sk_valid, sk, side="left").astype(jnp.int64)
+        rtb = jnp.searchsorted(ts, st, side="right").astype(jnp.int64)
+        krp = jnp.searchsorted(sk_valid, pkey, side="left").astype(jnp.int64)
+        rtp = jnp.searchsorted(ts, ptv, side="right").astype(jnp.int64)
+        S = jnp.int64(1) << 32
+        enc_b = jnp.where(pos_idx < nb, krb * S + rtb, big)
+        enc_p = krp * S + rtp
+        pos = jnp.searchsorted(enc_b, enc_p, side="right").astype(
+            jnp.int32) - 1
+        safe = jnp.clip(pos, 0, bcap - 1)
+        # the candidate must carry the probe's key (otherwise the search
+        # fell into the previous key's run: no time <= ptv for this key)
+        found = (pos >= 0) & (sk_valid[safe] == pkey) & probe_rel.mask
+        build_row = jnp.where(found, srows[safe], -1)
+        if pt.valid is not None:
+            found = found & pt.valid
+        # exact key re-check through the matched rows (collision guard)
+        if self.probe_keys:
+            probe_rows = jnp.arange(probe_rel.capacity, dtype=jnp.int32)
+            found = _exact_key_eq(probe_rel, build_rel, self.probe_keys,
+                                  self.build_keys, probe_rows,
+                                  jnp.maximum(build_row, 0), found)
+        left = self.join_type == "left"
+        safe_b = jnp.clip(build_row, 0, build_rel.capacity - 1)
+        cols = dict(probe_rel.columns)
+        for n, c in build_rel.columns.items():
+            out_name = self.build_prefix + n
+            if out_name not in cols:
+                v = None if c.valid is None else jnp.take(c.valid, safe_b)
+                if left:
+                    v = found if v is None else (v & found)
+                cols[out_name] = RelColumn(
+                    jnp.take(c.array, safe_b, axis=0), c.dtype,
+                    c.dictionary, c.domain, v)
+        mask = probe_rel.mask if left else (probe_rel.mask & found)
+        return Relation(cols, mask, probe_rel.capacity)
+
+    def _self_signature(self):
+        return (f"asof_join[{self.join_type};{self.probe_keys};"
+                f"{self.build_keys};{self.probe_time!r}{self.op}"
+                f"{self.build_time!r};{self.build_prefix}]")
+
+    def describe(self):
+        return (f"asof_join({self.join_type}, {self.probe_keys}="
+                f"{self.build_keys}, {self.op})")
+
+
+class Materialized(PhysicalOperator):
+    """Placeholder for an executor-injected relation (ctx._cache).
+
+    Used by the out-of-core merge pass: concatenated per-chunk partials are
+    injected as this operator's result (the same mechanism that feeds stage
+    boundaries), so merge plans are ordinary operator trees.
+    """
+
+    name = "materialized"
+
+    def _execute(self, ctx):
+        raise RuntimeError("materialized input was not injected")
 
 
 class MarkJoin(PhysicalOperator):

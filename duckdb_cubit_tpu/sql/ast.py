@@ -96,6 +96,12 @@ class ExistsExpr:
 
 
 @dataclasses.dataclass
+class IsNullExpr:
+    expr: Any
+    negated: bool = False  # IS NOT NULL
+
+
+@dataclasses.dataclass
 class SubqueryExpr:
     query: "SelectStmt"
 

@@ -405,6 +405,22 @@ class Binder:
                     ref.alias or ref.name, ref.name, None,
                     list(table.columns.keys()), table.num_rows,
                     unique_sets, jt, cond))
+        # RIGHT JOIN normalizes to LEFT with sides swapped (the reference
+        # planner does the same side flip, src/planner/binder/tableref):
+        # `A RIGHT JOIN B ON c` == `B LEFT JOIN A ON c`
+        for s in sources:
+            if s.join_type == "right":
+                if len(sources) != 2:
+                    raise BindError(
+                        "RIGHT JOIN is supported for two-table FROM "
+                        "(rewrite as LEFT JOIN)")
+                other = next(o for o in sources if o is not s)
+                if other.join_type != "inner":
+                    raise BindError("cannot mix RIGHT JOIN with other joins")
+                other.join_type = "left"
+                other.join_cond = s.join_cond
+                s.join_type = "inner"
+                s.join_cond = None
         return sources
 
     # ---------------------------------------------- WHERE classification
@@ -437,10 +453,23 @@ class Binder:
                         raise BindError(
                             "LEFT JOIN ON must be equi-join keys plus "
                             "right-side filters")
+            elif s.join_type == "full":
+                # FULL OUTER: non-equi ON conjuncts would have to apply
+                # without dropping unmatched rows from either side —
+                # restrict to pure equi keys
+                for c in on:
+                    if self._as_edge(c, scope) is None:
+                        raise BindError(
+                            "FULL JOIN ON must be equi-join keys")
+                    conjs.append(c)
             else:
                 conjs.extend(on)
         left_aliases = {s.alias for s in scope.sources
                         if s.join_type == "left"}
+        if any(s.join_type == "full" for s in scope.sources):
+            # every side of a FULL join is NULL-extended: all single-owner
+            # WHERE filters apply post-join
+            left_aliases = {s.alias for s in scope.sources}
         edges, post, sub_preds, range_edges = [], [], [], []
         for conj in conjs:
             if _contains_subquery(conj):
@@ -510,6 +539,43 @@ class Binder:
             return None
         return (ls.alias, l.name, rs.alias, r.name)
 
+    def _attach_asof(self, plan, plans, t, build_alias, probe_keys,
+                     build_keys, prefix, range_edges, scope, joined):
+        """Attach an ASOF source: equi keys + ONE inequality from the
+        range-edge pool drive the AsofJoin single-match operator."""
+        idx = flip = None
+        for i, (la, ra, conj) in enumerate(range_edges):
+            if la == build_alias and ra in joined:
+                idx, flip = i, True
+                break
+            if ra == build_alias and la in joined:
+                idx, flip = i, False
+                break
+        if idx is None:
+            raise BindError(
+                "ASOF JOIN needs one inequality condition in ON")
+        _, _, conj = range_edges[idx]
+        range_edges = range_edges[:idx] + range_edges[idx + 1:]
+        # the build-side expression evaluates against the RAW build
+        # relation (pre-join, no prefix)
+        saved = t.prefix
+        t.prefix = ""
+        try:
+            if flip:
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[conj.op]
+                build_e = self.to_expr(conj.left, scope)
+            else:
+                op = conj.op
+                build_e = self.to_expr(conj.right, scope)
+        finally:
+            t.prefix = saved
+        probe_e = self.to_expr(conj.right if flip else conj.left, scope)
+        jt = "left" if t.join_type == "asof_left" else "inner"
+        plan = P.AsofJoin(plan, plans[build_alias], probe_keys, build_keys,
+                          probe_e, op, build_e, join_type=jt,
+                          build_prefix=prefix)
+        return plan, range_edges
+
     # -------------------------------------------------------- join tree
     def _source_plan(self, s: Source, scope: Scope,
                      refs: set) -> P.PhysicalOperator:
@@ -544,9 +610,9 @@ class Binder:
                     [frozenset(s.prefix + c for c in us)
                      for us in s.unique_sets],
                     [c for _, _, c in range_edges])
-        inner = [s for s in sources if s.join_type != "left"]
+        inner = [s for s in sources if s.join_type == "inner"]
         if not inner:
-            raise BindError("all FROM entries are LEFT JOINs")
+            raise BindError("FROM needs at least one non-outer entry")
         start = max(inner, key=lambda s: s.size)
         start.prefix = ""
         joined = {start.alias}
@@ -581,7 +647,23 @@ class Binder:
             build_unique = any(us <= set(build_keys) for us in t.unique_sets)
             probe_unique = any(us <= set(probe_keys) for us in cur_unique)
             jt = "left" if t.join_type == "left" else "inner"
-            if build_unique:
+            if t.join_type in ("asof", "asof_left"):
+                plan, range_edges = self._attach_asof(
+                    plan, plans, t, build_alias, probe_keys, build_keys,
+                    prefix, range_edges, scope, joined)
+                # asof is probe-preserving single-match: prefix uniqueness
+                # survives; cur_size unchanged
+            elif t.join_type == "full":
+                # FULL OUTER: always the expansion join (unmatched build
+                # rows are appended by the operator)
+                plan = P.HashJoin(plan, plans[build_alias], probe_keys,
+                                  build_keys, "full", single_match=False,
+                                  out_capacity=pad_count(max(cur_size, 1))
+                                  if build_unique else None,
+                                  build_prefix=prefix)
+                cur_size = cur_size + t.size
+                cur_unique = []
+            elif build_unique:
                 plan = P.HashJoin(plan, plans[build_alias], probe_keys,
                                   build_keys, jt, single_match=True,
                                   build_prefix=prefix)
@@ -641,8 +723,20 @@ class Binder:
             if pick is None:
                 pick = min(missing, key=lambda a: scope.by_alias[a].size)
             t = scope.by_alias[pick]
-            if t.join_type == "left":
-                raise BindError("LEFT JOIN requires equi-join keys in ON")
+            if t.join_type in ("left", "full"):
+                raise BindError("outer JOIN requires equi-join keys in ON")
+            if t.join_type in ("asof", "asof_left"):
+                prefix = ""
+                if out_names & set(t.cols):
+                    prefix = f"{t.alias}__"
+                t.prefix = prefix
+                plan, range_edges = self._attach_asof(
+                    plan, plans, t, pick, [], [], prefix, range_edges,
+                    scope, joined)
+                joined.add(pick)
+                out_names |= {prefix + c for c in t.cols}
+                missing.discard(pick)
+                continue
             conds, still = [], []
             for la, ra, conj in range_edges:
                 if ra == pick and la in joined:
@@ -1383,6 +1477,9 @@ class Binder:
             e = rec(node.expr)
             return e.not_like(node.pattern) if node.negated \
                 else e.like(node.pattern)
+        if isinstance(node, A.IsNullExpr):
+            e = E.IsNull(rec(node.expr))
+            return ~e if node.negated else e
         if isinstance(node, A.CaseExpr):
             default = rec(node.default) if node.default is not None \
                 else E.Lit(0)

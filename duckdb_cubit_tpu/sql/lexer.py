@@ -14,7 +14,8 @@ KEYWORDS = {
     "as", "and", "or", "not", "in", "like", "between", "is", "null",
     "case", "when", "then", "else", "end", "cast", "date", "interval",
     "exists", "distinct", "asc", "desc", "join", "inner", "left", "right",
-    "outer", "on", "union", "all", "substring", "extract", "year", "month",
+    "full", "asof", "outer", "on", "union", "all", "substring", "extract",
+    "year", "month",
     "day", "for", "count", "sum", "avg", "min", "max", "true", "false",
 }
 

@@ -313,8 +313,9 @@ class Parser:
                             order_by, limit, distinct)
 
     def parse_join_suffix(self, tables: list) -> bool:
-        """INNER/LEFT JOIN t ON cond — the ON condition folds into WHERE
-        (outer-ness is recorded on the TableRef for the binder)."""
+        """INNER/LEFT/RIGHT/FULL/ASOF JOIN t ON cond — the ON condition
+        folds into WHERE (join-type recorded on the TableRef for the
+        binder)."""
         join_type = None
         if self.at_kw("join", "inner"):
             self.accept("kw", "inner")
@@ -325,6 +326,21 @@ class Parser:
             self.accept("kw", "outer")
             self.expect("kw", "join")
             join_type = "left"
+        elif self.at_kw("right"):
+            self.next()
+            self.accept("kw", "outer")
+            self.expect("kw", "join")
+            join_type = "right"
+        elif self.at_kw("full"):
+            self.next()
+            self.accept("kw", "outer")
+            self.expect("kw", "join")
+            join_type = "full"
+        elif self.at_kw("asof"):
+            self.next()
+            join_type = "asof_left" if self.accept("kw", "left") else "asof"
+            self.accept("kw", "outer")
+            self.expect("kw", "join")
         else:
             return False
         ref = self.parse_table_ref()
@@ -429,6 +445,10 @@ class Parser:
             return A.LikeExpr(left, pat, negated)
         if negated:
             raise ParseError("dangling NOT before comparison")
+        if self.accept("kw", "is"):
+            neg = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return A.IsNullExpr(left, neg)
         t = self.peek()
         if t.kind == "op" and t.value in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()

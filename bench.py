@@ -20,17 +20,16 @@ vs_baseline  = fraction of the per-chip HBM roofline for this query's
 Method: the query plan is compiled once; 64 DISTINCT predicate variants
 (different shipdate/discount/quantity windows -> different CUBIT word
 arrays fed to the SAME executable, i.e. a prepared statement executed
-with different parameters) are stacked, and ONE dispatch evaluates all 64
-via lax.map — the way a serving deployment batches a prepared query.
+with different parameters) are dispatched back-to-back (async) each
+round — exactly how a serving deployment executes a prepared query.
 Distinct inputs with distinct answers make result replay/caching by the
-remote runtime impossible, and batching makes device work dominate the
-tunnel's flat dispatch cost (~1 ms, measured with an otherwise-identical
-TRIVIAL program over the same inputs and subtracted).  Each timed round
-ends with ONE device->host pull of a scalar that depends on every output
-(the only barrier the tunneled runtime honors).  `value` is therefore
-device execution throughput — what a locally-attached deployment
-sustains.  Correctness is verified against the reference golden answers
-AFTER timing.
+remote runtime impossible; the tunnel's flat per-dispatch cost is
+measured with an otherwise-identical TRIVIAL program over the same
+inputs and subtracted.  Each timed round ends with ONE device->host pull
+of a scalar that depends on every output (the only barrier the tunneled
+runtime honors).  `value` is therefore device execution throughput —
+what a locally-attached deployment sustains.  Correctness is verified
+against the reference golden answers AFTER timing.
 
 Roofline model (TPU v5e, ~819 GB/s HBM): minimum traffic for Q6 with
 UNCOMPRESSED int32 columns is one combined predicate word-array read
@@ -77,7 +76,28 @@ def _timed(fn, arg, ctrl, k=32, rounds=5):
     return max(tw - tc, 1e-9) / k
 
 
-def bench_q6(catalog, ex):
+def _timed_variants(per_variant_fns, ctrl_fns, k=8, rounds=5):
+    """Time a round of NV async prepared-statement dispatches, control-
+    subtracting the same dispatch pattern over a trivial program."""
+    import jax.numpy as jnp
+
+    def round_(fns):
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(k):
+            outs.extend(f() for f in fns)
+        int(jnp.sum(jnp.stack(outs)))    # dependent pull = real barrier
+        return time.perf_counter() - t0
+
+    for _ in range(2):
+        round_(per_variant_fns)
+        round_(ctrl_fns)
+    tw = statistics.median([round_(per_variant_fns) for _ in range(rounds)])
+    tc = statistics.median([round_(ctrl_fns) for _ in range(rounds)])
+    return max(tw - tc, 1e-9) / (k * len(per_variant_fns))
+
+
+def bench_q6(catalog, ex, sf=1.0):
     import jax
     import jax.numpy as jnp
 
@@ -98,9 +118,9 @@ def bench_q6(catalog, ex):
     agg = next(op for op in plan.walk() if isinstance(op, P.GroupAggregate))
     pplan = agg._pallas[0] if agg._pallas is not None else None
 
-    # 64 distinct predicate variants -> stacked parameter arrays
+    # 64 distinct predicate variants -> per-variant prepared-exec args
     NV = 64
-    var_words, var_planes, var_mask8 = [], [], []
+    var_args = []
     for year, dlo, qhi in itertools.islice(
             itertools.product((1993, 1994, 1995, 1996), (3, 4, 5, 6),
                               (2399, 2499, 2599, 2699)), NV):
@@ -114,41 +134,30 @@ def bench_q6(catalog, ex):
                 ("l_quantity", "range", (None, qhi)),
             ])
         w = scan._index_words(table)
-        var_words.append(w)
+        args = list(arrays)
+        args[slot_of["words"]] = w
         mask = bm.expand(w, table.capacity)
         if pplan is not None:
-            var_planes.append(pk.plane_pack(mask, pplan))
+            args[slot_of["pallas_words"]] = pk.plane_pack(mask, pplan)
         else:
-            var_mask8.append(mask.astype(jnp.int8))
-    stacked = [jnp.stack(var_words)]
-    if pplan is not None:
-        stacked.append(jnp.stack(var_planes))
-    else:
-        stacked.append(jnp.stack(var_mask8))
-    jax.block_until_ready(stacked)
+            args[slot_of["mask8"]] = mask.astype(jnp.int8)
+        jax.block_until_ready(args)
+        var_args.append(args)
 
-    base_args = list(arrays)
-
-    def one(vs):
-        args = list(base_args)
-        args[slot_of["words"]] = vs[0]
-        if pplan is not None:
-            args[slot_of["pallas_words"]] = vs[1]
-        else:
-            args[slot_of["mask8"]] = vs[1]
-        return jitted(args)[0][0]
-
-    batched = jax.jit(lambda *s: jnp.sum(jax.lax.map(one, tuple(s))))
-    ctrl = jax.jit(lambda *s: (s[0][0, :1].astype(jnp.int64)
-                               + s[1][0].ravel()[:1].astype(jnp.int64)).sum())
-    per = _timed(lambda s: batched(*s), stacked, lambda s: ctrl(*s))
-    rows_per_s = NV * n_rows / per
+    fns = [
+        (lambda a=a: jitted(a)[0][0].astype(jnp.int64).ravel()[0])
+        for a in var_args]
+    trivial = jax.jit(lambda w: w.ravel()[:1].astype(jnp.int64).sum())
+    ctrl_fns = [(lambda a=a: trivial(a[slot_of["words"]]))
+                for a in var_args]
+    per = _timed_variants(fns, ctrl_fns)
+    rows_per_s = n_rows / per
 
     # verify the canonical Q6 AFTER timing (D2H-heavy)
     rel = ex.execute(plan)
     rows = R.to_strings(rel)
     if answers.answers_available():
-        problems = answers.compare(rows, 1.0, 6)
+        problems = answers.compare(rows, sf, 6)
         if problems:
             print(json.dumps({"error": f"Q6 wrong: {problems[:3]}"}))
             sys.exit(1)
@@ -212,7 +221,7 @@ def main():
     catalog = load.load_catalog(sf)
     ex = Executor(catalog, EngineConfig())
 
-    q6_rows_s, used_pallas = bench_q6(catalog, ex)
+    q6_rows_s, used_pallas = bench_q6(catalog, ex, sf)
     probe_rows_s, csr_rows_s = bench_join_probe(catalog)
 
     q6_roof = HBM_BYTES_PER_S / Q6_MODEL_BYTES_PER_ROW

@@ -412,12 +412,15 @@ class Executor:
 
     def _run_stage(self, op, keep_aligned: bool = False):
         bounds, bindex = self._find_boundaries(op, keep_aligned)
-        brels = []
-        for c, compactable in bounds:
-            r = self._run_stage(c, keep_aligned=not compactable)
-            if compactable:
-                r = self._compact_relation(r)
-            brels.append(r)
+        # dispatch ALL sibling boundary stages before the first compaction
+        # pulls a count: device execution of independent pipelines overlaps
+        # with host-side compile/dispatch of the next (the async analog of
+        # the reference scheduling independent MetaPipelines concurrently,
+        # executor.cpp:70 SchedulePipeline)
+        raw = [self._run_stage(c, keep_aligned=not compactable)
+               for c, compactable in bounds]
+        brels = [self._compact_relation(r) if compactable else r
+                 for (c, compactable), r in zip(bounds, raw)]
         chunk = self._chunk_plan(op, bindex)
         if chunk is not None:
             return self._run_stage_chunked(op, bounds, bindex, brels, chunk)
@@ -529,6 +532,41 @@ class Executor:
             return None
         return scan, n, split
 
+    def _chunk_maybe_nonempty(self, scan, table, lo: int, hi: int) -> bool:
+        """Host-side zone-map pruning for one chunk's row range: False when
+        some pushed conjunct is provably unsatisfiable over every block of
+        [lo, hi) (per-block min/max, storage/table.py ZONE_BLOCK)."""
+        from ..ops import expressions as E
+        from ..plan import optimizer as opt
+        from ..storage.table import ZONE_BLOCK
+
+        for f in scan.filters:
+            for conj in opt.split_conjuncts(f):
+                if not isinstance(conj, E.Compare):
+                    continue
+                left, right, cop = conj.left, conj.right, conj.op
+                if isinstance(right, E.Col) and isinstance(left, E.Lit):
+                    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                            "==": "==", "!=": "!="}
+                    left, right, cop = right, left, flip[cop]
+                if not (isinstance(left, E.Col) and isinstance(right, E.Lit)):
+                    continue
+                c = table.columns.get(left.name)
+                if c is None or c.zone_map is None:
+                    continue
+                b0 = lo // ZONE_BLOCK
+                b1 = min(-(-hi // ZONE_BLOCK), len(c.zone_map.mins))
+                if b1 <= b0:
+                    continue
+                v = opt._literal_device_value(right, c.dtype, c.dictionary)
+                if v is None:
+                    continue
+                blo = int(c.zone_map.mins[b0:b1].min())
+                bhi = int(c.zone_map.maxs[b0:b1].max())
+                if opt._classify_vs_bounds(cop, v, blo, bhi) == "never":
+                    return False
+        return True
+
     def _split_aggregate(self, agg):
         """Rewrite a GroupAggregate into (partial, materialized, merge):
         chunk-local partials then a re-aggregation over their union —
@@ -589,6 +627,16 @@ class Executor:
         while lo < cap:
             hi = min(lo + chunk_cap, cap)
             row_limit = max(0, min(table.num_rows - lo, hi - lo))
+            if row_limit == 0 or not self._chunk_maybe_nonempty(
+                    scan, table, lo, hi):
+                # zone-map chunk skip: per-block min/max prove no row of
+                # this range can pass the pushed filters (the multi-pass
+                # analog of RowGroup::CheckZonemapSegments,
+                # row_group.cpp:407)
+                self.external_chunks_skipped = getattr(
+                    self, "external_chunks_skipped", 0) + 1
+                lo = hi
+                continue
             jitted, arrays, meta_box = self._compile_stage(
                 partial_root, bounds, bindex, brels,
                 chunk=(scan, lo, hi, row_limit))
@@ -600,6 +648,15 @@ class Executor:
             partials.append(rel)
             self.external_passes += 1
             lo = hi
+        if not partials:
+            # every chunk proven empty: one pass over the first chunk
+            # yields the correct empty/zero aggregate shapes
+            jitted, arrays, meta_box = self._compile_stage(
+                partial_root, bounds, bindex, brels,
+                chunk=(scan, 0, chunk_cap,
+                       max(0, min(table.num_rows, chunk_cap))))
+            partials.append(self._run_compiled(jitted, arrays, meta_box))
+            self.external_passes += 1
         # concatenate partials and run the merge pass (eager; partials are
         # group-sized, far below the chunk working set)
         names = list(partials[0].columns.keys())

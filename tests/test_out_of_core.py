@@ -87,6 +87,32 @@ def test_external_empty_result():
     assert conn.sql(q).strings() == []
 
 
+def test_zone_map_chunk_skip():
+    """Chunks whose zone-map blocks prove the filter unsatisfiable are
+    skipped entirely (multi-pass CheckZonemapSegments analog)."""
+    n = 4 * 65536           # 4 zone-map blocks, clustered values
+    conn = Connection()
+    conn.register_numpy("t", {"v": np.arange(n, dtype=np.int64)})
+    q = "SELECT count(*) AS c, sum(v) AS s FROM t WHERE v < 1000"
+    want = conn.sql(q).strings()
+    conn.sql("SET force_external = true")
+    before_skip = getattr(conn.executor, "external_chunks_skipped", 0)
+    before_pass = conn.executor.external_passes
+    got = conn.sql(q).strings()
+    assert got == want
+    assert conn.executor.external_chunks_skipped - before_skip > 0
+    assert conn.executor.external_passes - before_pass >= 1
+
+
+def test_zone_map_all_chunks_skipped():
+    n = 2 * 65536
+    conn = Connection()
+    conn.register_numpy("t", {"v": np.arange(n, dtype=np.int64)})
+    q = "SELECT count(*) AS c FROM t WHERE v < 0"
+    conn.sql("SET force_external = true")
+    assert conn.sql(q).strings() == [["0"]]
+
+
 @pytest.mark.skipif(not tpch_available, reason="reference not mounted")
 @pytest.mark.parametrize("n", [1, 6])
 def test_tpch_forced_external(n):

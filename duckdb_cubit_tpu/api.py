@@ -64,6 +64,28 @@ class Connection:
         self.executor = Executor(self.catalog, self.config)
         self.binder = Binder(self.catalog, self.executor)
         self._txn_snapshot = None
+        # durability (storage/persist.py): when set, DDL/DML statements are
+        # WAL-logged under this directory and checkpoint() snapshots to it
+        self.db_path: str | None = None
+
+    def attach(self, path: str):
+        """Enable durability: subsequent DDL/DML append to `path`'s WAL."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.db_path = path
+        return self
+
+    def checkpoint(self, path: str | None = None):
+        """Snapshot the catalog to disk and truncate the WAL (reference
+        CheckpointManager analog)."""
+        from .storage.persist import checkpoint as _ckpt
+
+        target = path or self.db_path
+        if target is None:
+            raise ValueError("no database path: attach(path) first")
+        _ckpt(self, target)
+        self.db_path = target
 
     # -------------------------------------------------------------- data in
     def register_numpy(self, name: str, columns: dict, schema=None):
@@ -99,6 +121,17 @@ class Connection:
         from .sql.statements import execute_statement
 
         status, rows = execute_statement(self, stmt)
+        # durability: log DDL/DML to the WAL after successful execution
+        # (reference write_ahead_log.cpp; replayed by
+        # storage/persist.open_database, truncated by checkpoint)
+        if (getattr(self, "db_path", None)
+                and not getattr(self, "_wal_replaying", False)
+                and isinstance(stmt, (A.CreateTable, A.CreateIndex,
+                                      A.Insert, A.Delete, A.Update,
+                                      A.DropTable))):
+            from .storage.persist import wal_append
+
+            wal_append(self.db_path, query)
         return Result(None, status=status, static_rows=rows)
 
     # ------------------------------------------------------- transactions

@@ -200,6 +200,18 @@ class Arith(Expr):
     def eval(self, ctx):
         lt, rt = self.left.eval(ctx), self.right.eval(ctx)
         v = and_valid(lt.valid, rt.valid)
+        if self.op == "%":
+            # SQL mod: integer when both sides integer, else double fmod
+            if TypeId.DOUBLE in (lt.dtype.id, rt.dtype.id) or \
+                    TypeId.DECIMAL in (lt.dtype.id, rt.dtype.id):
+                return Typed(jnp.fmod(_as_double(lt), _as_double(rt)),
+                             DOUBLE, None, v)
+            la = jnp.asarray(lt.array).astype(jnp.int64)
+            ra = jnp.asarray(rt.array).astype(jnp.int64)
+            # SQL mod takes the DIVIDEND's sign (reference/C semantics;
+            # jnp.remainder follows the divisor)
+            rem = jnp.sign(la) * (jnp.abs(la) % jnp.abs(ra))
+            return Typed(rem, INT64, None, v)
         if self.op == "/" or TypeId.DOUBLE in (lt.dtype.id, rt.dtype.id):
             la, ra = _as_double(lt), _as_double(rt)
             out = {"+": lambda: la + ra, "-": lambda: la - ra,
@@ -686,10 +698,15 @@ class Concat(Expr):
 
 @dataclasses.dataclass(eq=False)
 class MathFn(Expr):
-    """sqrt/abs/floor/ceil/round(x[, digits]) — double-valued scalar math."""
+    """sqrt/abs/floor/ceil/round/exp/ln/log*/trig/power — scalar math."""
     op: str
     child: Expr
     digits: int = 0
+    other: Expr | None = None   # power(x, y)'s second operand
+
+    _UNARY = {"exp": jnp.exp, "ln": jnp.log, "log": jnp.log10,
+              "log2": jnp.log2, "log10": jnp.log10, "sin": jnp.sin,
+              "cos": jnp.cos, "tan": jnp.tan}
 
     def eval(self, ctx):
         t = self.child.eval(ctx)
@@ -698,6 +715,12 @@ class MathFn(Expr):
                 return Typed(jnp.abs(t.array), t.dtype, None, t.valid)
             return Typed(jnp.abs(_as_double(t)), DOUBLE, None, t.valid)
         x = _as_double(t)
+        if self.op in self._UNARY:
+            return Typed(self._UNARY[self.op](x), DOUBLE, None, t.valid)
+        if self.op == "power":
+            o = self.other.eval(ctx)
+            return Typed(jnp.power(x, _as_double(o)), DOUBLE, None,
+                         and_valid(t.valid, o.valid))
         if self.op == "sqrt":
             return Typed(jnp.sqrt(x), DOUBLE, None, t.valid)
         if self.op == "floor":

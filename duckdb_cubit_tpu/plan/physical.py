@@ -1717,18 +1717,31 @@ class Window(PhysicalOperator):
 
     def _key_arrays(self, rel):
         # float keys go through the monotone int64 encoding (ADVICE r3:
-        # int64 casts silently truncated DOUBLE partition/order keys)
-        parts = tuple(kernels.monotone_i64(rel.columns[k].array)
-                      for k in self.partition_by)
+        # int64 casts silently truncated DOUBLE partition/order keys);
+        # NULLable keys get a leading null-flag key — NULLs form one
+        # partition / sort NULLS LAST (reference default)
+        parts = []
+        for k in self.partition_by:
+            c = rel.columns[k]
+            enc = kernels.monotone_i64(c.array)
+            if c.valid is not None:
+                parts.append((~c.valid).astype(jnp.int64))
+                enc = jnp.where(c.valid, enc, jnp.int64(0))
+            parts.append(enc)
         orders = []
         for k, desc in self.order_by:
-            a = rel.columns[k].array
+            c = rel.columns[k]
+            a = c.array
             if jnp.issubdtype(a.dtype, jnp.floating):
-                orders.append(kernels.monotone_i64(-a if desc else a))
+                enc = kernels.monotone_i64(-a if desc else a)
             else:
                 a = a.astype(jnp.int64)
-                orders.append(-a if desc else a)
-        return parts, tuple(orders)
+                enc = -a if desc else a
+            if c.valid is not None:
+                orders.append((~c.valid).astype(jnp.int64))
+                enc = jnp.where(c.valid, enc, jnp.int64(0))
+            orders.append(enc)
+        return tuple(parts), tuple(orders)
 
     def _execute(self, ctx):
         from ..ops import window as W

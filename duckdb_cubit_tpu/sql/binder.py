@@ -1381,6 +1381,37 @@ class Binder:
             if name == "year":
                 return rec(args[0]).year()
             return E.ExtractField(name, rec(args[0]))
+        if name in ("exp", "ln", "log", "log2", "log10", "sin", "cos",
+                    "tan"):
+            need(1)
+            return E.MathFn(name, rec(args[0]))
+        if name in ("power", "pow"):
+            need(2)
+            return E.MathFn("power", rec(args[0]), other=rec(args[1]))
+        if name == "mod":
+            need(2)
+            return E.Arith("%", rec(args[0]), rec(args[1]))
+        if name == "coalesce":
+            if len(args) < 2:
+                raise BindError("coalesce() takes 2+ arguments")
+            out = rec(args[-1])
+            for a in reversed(args[:-1]):
+                e = rec(a)
+                out = E.Case(~E.IsNull(e), e, out)
+            return out
+        if name == "nullif":
+            need(2)
+            a, b = rec(args[0]), rec(args[1])
+            return E.ValidIf(a, ~(a == b))
+        if name in ("greatest", "least"):
+            if len(args) < 2:
+                raise BindError(f"{name}() takes 2+ arguments")
+            out = rec(args[0])
+            for a in args[1:]:
+                e = rec(a)
+                cond = (out > e) if name == "greatest" else (out < e)
+                out = E.Case(cond, out, e)
+            return out
         raise BindError(f"unknown function {name}")
 
     def _order_limit(self, stmt, plan, out_names):
@@ -1446,6 +1477,7 @@ class Binder:
             l, r = rec(node.left), rec(node.right)
             ops = {"+": lambda: l + r, "-": lambda: l - r,
                    "*": lambda: l * r, "/": lambda: l / r,
+                   "%": lambda: E.Arith("%", l, r),
                    "and": lambda: l & r, "or": lambda: l | r,
                    "==": lambda: l == r, "!=": lambda: l != r,
                    "<": lambda: l < r, "<=": lambda: l <= r,

@@ -62,6 +62,9 @@ def main():
         line = f"q{n:02d}  {status}  first={dt:8.1f}s  steady={dt2:7.3f}s"
         lines.append(line)
         print(line, flush=True)
+        # write incrementally so a timeout still leaves a usable artifact
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
     lines.append(f"# {n_pass}/22 PASS  finished={time.strftime('%Y-%m-%d %H:%M:%S')}")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

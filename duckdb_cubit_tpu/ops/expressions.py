@@ -36,6 +36,10 @@ class ColMeta:
     """Trace-time metadata of a bound column."""
     dtype: DataType
     dictionary: np.ndarray | None = None
+    # sorted distinct values (host) for small-domain columns — drives the
+    # dense (perfect-hash) aggregate path and propagates through
+    # expressions like extract(year)
+    domain: np.ndarray | None = None
 
 
 class EvalContext:
@@ -57,6 +61,8 @@ class Typed:
     dictionary: np.ndarray | None = None
     # bool array marking non-NULL slots; None = all valid
     valid: Any = None
+    # sorted distinct values (host metadata), when known small
+    domain: np.ndarray | None = None
 
 
 def and_valid(a, b):
@@ -130,7 +136,7 @@ class Col(Expr):
     def eval(self, ctx):
         m = ctx.meta[self.name]
         return Typed(ctx.arrays[self.name], m.dtype, m.dictionary,
-                     ctx.valids.get(self.name))
+                     ctx.valids.get(self.name), domain=m.domain)
 
 
 @dataclasses.dataclass(eq=False)
@@ -457,7 +463,9 @@ class ExtractYear(Expr):
         mp = jnp.floor_divide(5 * doy + 2, 153)
         m = mp + jnp.where(mp < 10, 3, -9)
         y = y + (m <= 2)
-        return Typed(y.astype(jnp.int64), INT64, None, ct.valid)
+        dom = _year_domain(ct.domain)
+        return Typed(y.astype(jnp.int64), INT64, None, ct.valid,
+                     domain=dom)
 
 
 @dataclasses.dataclass(eq=False)
@@ -561,7 +569,23 @@ class ExtractField(Expr):
         assert ct.dtype.id == TypeId.DATE
         y, m, d = _civil_from_days(ct.array)
         out = {"year": y, "month": m, "day": d}[self.field]
-        return Typed(out.astype(jnp.int64), INT64, None, ct.valid)
+        if self.field == "year":
+            dom = _year_domain(ct.domain)
+        else:
+            dom = np.arange(1, 13 if self.field == "month" else 32,
+                            dtype=np.int64)
+        return Typed(out.astype(jnp.int64), INT64, None, ct.valid,
+                     domain=dom)
+
+
+def _year_domain(day_domain):
+    """Host: distinct civil years covered by a DATE column's day domain."""
+    if day_domain is None:
+        return None
+    from ..types import days_to_date
+    lo = days_to_date(int(day_domain[0])).year
+    hi = days_to_date(int(day_domain[-1])).year
+    return np.arange(lo, hi + 1, dtype=np.int64)
 
 
 def _dict_strs(d) -> list[str]:

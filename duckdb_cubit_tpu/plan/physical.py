@@ -447,6 +447,7 @@ class Project(PhysicalOperator):
                 if jnp.ndim(arr) == 0:
                     arr = jnp.full(rel.capacity, arr)
                 cols[name] = RelColumn(arr, t.dtype, t.dictionary,
+                                       domain=getattr(t, "domain", None),
                                        valid=t.valid)
         return Relation(cols, rel.mask, rel.capacity)
 
@@ -1078,6 +1079,22 @@ class GroupAggregate(PhysicalOperator):
             elif c.dtype.id == TypeId.CHAR1:
                 dense_sizes.append(256)
                 dense_codes.append(c.array)
+            elif c.dtype.id in (TypeId.INT32, TypeId.INT64, TypeId.DATE,
+                                TypeId.DECIMAL) and c.domain is not None:
+                # small int/date domains (zone-map bounds at ingest, or
+                # propagated through extract(year) etc.): perfect-hash
+                # grouping instead of a full sort — the
+                # PhysicalPerfectHashAggregate statistics decision
+                dense_sizes.append(len(c.domain))
+                lo = int(c.domain[0])
+                contiguous = int(c.domain[-1]) - lo + 1 == len(c.domain)
+                if contiguous:
+                    dense_codes.append(
+                        (c.array.astype(jnp.int64) - lo).astype(jnp.int32))
+                else:
+                    dense_codes.append(jnp.searchsorted(
+                        jnp.asarray(c.domain),
+                        c.array.astype(jnp.int64)).astype(jnp.int32))
             else:
                 dense_ok = False
                 break
@@ -1301,29 +1318,7 @@ class GroupAggregate(PhysicalOperator):
         out_cols: dict[str, RelColumn] = {}
         # group key columns
         if rep is None:
-            # dense codes: reconstruct key values from the code arithmetic
-            sizes = []
-            for k in self.keys:
-                c = rel.columns[k]
-                if c.dtype.id == TypeId.VARCHAR:
-                    sizes.append(len(c.dictionary))
-                elif c.dtype.id == TypeId.CHAR1 and c.domain is not None:
-                    sizes.append(len(c.domain))
-                else:
-                    sizes.append(256)
-            gcodes = jnp.arange(num_groups, dtype=jnp.int32)
-            rem = gcodes
-            for k, size in reversed(list(zip(self.keys, sizes))):
-                c = rel.columns[k]
-                kv = rem % size
-                rem = rem // size
-                if c.dtype.id == TypeId.CHAR1 and c.domain is not None:
-                    kv = jnp.asarray(c.domain)[kv]
-                out_cols[k] = RelColumn(
-                    kv.astype(np.int32 if c.dtype.id == TypeId.VARCHAR
-                              else jnp.uint8),
-                    c.dtype, c.dictionary, c.domain)
-            out_cols = dict(reversed(list(out_cols.items())))
+            out_cols.update(self._dense_key_columns(rel, num_groups))
         else:
             safe_rep = jnp.clip(rep, 0, rel.capacity - 1)
             for k in list(self.keys) + list(self.carry):
@@ -1419,13 +1414,15 @@ class GroupAggregate(PhysicalOperator):
         raise ValueError(agg.kind)
 
     def _dense_key_columns(self, rel, num_groups):
+        """Reconstruct key values from dense mixed-radix codes (must mirror
+        the size/code scheme of the dense decision in _execute)."""
         out_cols: dict[str, RelColumn] = {}
         sizes = []
         for k in self.keys:
             c = rel.columns[k]
             if c.dtype.id == TypeId.VARCHAR:
                 sizes.append(len(c.dictionary))
-            elif c.dtype.id == TypeId.CHAR1 and c.domain is not None:
+            elif c.domain is not None:
                 sizes.append(len(c.domain))
             else:
                 sizes.append(256)
@@ -1435,12 +1432,13 @@ class GroupAggregate(PhysicalOperator):
             c = rel.columns[k]
             kv = rem % size
             rem = rem // size
-            if c.dtype.id == TypeId.CHAR1 and c.domain is not None:
-                kv = jnp.asarray(c.domain)[kv]
-            out_cols[k] = RelColumn(
-                kv.astype(np.int32 if c.dtype.id == TypeId.VARCHAR
-                          else jnp.uint8),
-                c.dtype, c.dictionary, c.domain)
+            if c.dtype.id == TypeId.VARCHAR:
+                kv = kv.astype(np.int32)
+            elif c.domain is not None:
+                kv = jnp.asarray(c.domain)[kv].astype(c.array.dtype)
+            else:
+                kv = kv.astype(jnp.uint8)
+            out_cols[k] = RelColumn(kv, c.dtype, c.dictionary, c.domain)
         return dict(reversed(list(out_cols.items())))
 
     def _one_agg(self, agg, evaluated, gids, valid, num_groups, counts):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .table import Column, Table, pad_count
+from ..types import TypeId
 
 
 class DmlError(RuntimeError):
@@ -140,8 +141,38 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
             if pk is None:
                 raise DmlError(f"append broke PK uniqueness on {cname}")
             table.pk_indexes[cname] = pk
+    _refresh_stats(table)
     table.version += 1
     return first
+
+
+def _refresh_stats(table: Table, columns=None):
+    """Recompute zone maps and small-int domains from the host mirrors
+    after a mutation — stale statistics would make the optimizer's
+    always-false pruning and the dense-aggregate domain decision WRONG
+    (the reference merges new segment stats on append,
+    src/storage/table/column_data.cpp stats merge)."""
+    from .table import _build_zone_map, _int_domain
+
+    names = columns if columns is not None else list(table.columns)
+    for name in names:
+        col = table.columns[name]
+        if col.zone_map is None and col.domain is None and \
+                col.dtype.id == TypeId.DOUBLE:
+            continue
+        host = (col.host[:table.num_rows] if col.host is not None
+                else np.asarray(col.data[:table.num_rows]))
+        if table.num_rows == 0:
+            col.zone_map = None
+            col.domain = None
+            continue
+        if col.dtype.id in (TypeId.INT32, TypeId.INT64, TypeId.DECIMAL,
+                            TypeId.DATE, TypeId.VARCHAR, TypeId.CHAR1):
+            col.zone_map = _build_zone_map(host, table.num_rows)
+        if col.dtype.id == TypeId.CHAR1:
+            col.domain = np.unique(host)
+        elif col.domain is not None or col.zone_map is not None:
+            col.domain = _int_domain(col.zone_map, col.dtype)
 
 
 def delete_rows(table: Table, row_ids: np.ndarray):
@@ -180,4 +211,5 @@ def update_column(table: Table, column: str, row_ids: np.ndarray,
         for r, ov, nv in zip(row_ids, old, np.asarray(new_values)):
             idx.update(int(r), ov, nv)
         idx.merge()
+    _refresh_stats(table, [column])
     table.version += 1

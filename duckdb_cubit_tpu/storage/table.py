@@ -77,6 +77,23 @@ def _build_zone_map(values: np.ndarray, num_rows: int) -> ZoneMap:
     return ZoneMap(mins, maxs)
 
 
+
+# small integer/date columns expose a contiguous value domain (from the
+# zone map's global bounds) — drives the dense perfect-hash aggregate path
+INT_DOMAIN_LIMIT = 8192
+
+
+def _int_domain(zone_map, dtype) -> np.ndarray | None:
+    if zone_map is None or dtype.id not in (TypeId.INT32, TypeId.INT64,
+                                            TypeId.DATE, TypeId.DECIMAL):
+        return None
+    lo = int(zone_map.mins.min())
+    hi = int(zone_map.maxs.max())
+    if 0 < hi - lo + 1 <= INT_DOMAIN_LIMIT:
+        return np.arange(lo, hi + 1, dtype=np.int64)
+    return None
+
+
 def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sorted-dictionary encode a |S numpy array -> (int32 codes, dictionary)."""
     dictionary, codes = np.unique(values, return_inverse=True)
@@ -173,6 +190,8 @@ def from_numpy(
         domain = None
         if dtype.id == TypeId.CHAR1 and num_rows:
             domain = np.unique(dev_np[:num_rows])
+        elif num_rows:
+            domain = _int_domain(zone_map, dtype)
         columns[col_name] = Column(
             name=col_name,
             dtype=dtype,
@@ -246,6 +265,8 @@ def from_encoded(name: str, cols: dict[str, dict],
         domain = None
         if dtype.id == TypeId.CHAR1 and num_rows:
             domain = np.unique(dev_np[:num_rows])
+        elif num_rows:
+            domain = _int_domain(zone_map, dtype)
         columns[col_name] = Column(col_name, dtype, jnp.asarray(padded),
                                    dictionary, zone_map, domain,
                                    host=np.asarray(dev_np))

@@ -136,6 +136,56 @@ def test_last_value_rows_frame(conn):
     assert [r[0] for r in rows] == [r[1] for r in rows]
 
 
+def test_dense_domain_grouping_by_year():
+    """Small int domains propagate through extract(year) so the aggregate
+    takes the dense perfect-hash path — and results stay exact."""
+    import numpy as np
+    from duckdb_cubit_tpu.types import DATE
+
+    c = Connection()
+    rng = np.random.default_rng(0)
+    days = rng.integers(8400, 10650, 50_000)        # ~1993-1999
+    c.register_numpy("o", {"d": days, "v": rng.integers(0, 100, 50_000)},
+                     schema={"d": DATE})
+    rows = c.sql("SELECT y, count(*) AS n, sum(v) AS s FROM "
+                 "(SELECT extract(year FROM d) AS y, v FROM o) AS t "
+                 "GROUP BY y ORDER BY y").strings()
+    import datetime
+    years = np.array([(datetime.date(1970, 1, 1)
+                       + datetime.timedelta(days=int(d))).year
+                      for d in days])
+    rng2 = np.random.default_rng(0)
+    _ = rng2.integers(8400, 10650, 50_000)   # replay to reach v's draws
+    vals = rng2.integers(0, 100, 50_000)
+    got_years = [int(r[0]) for r in rows]
+    assert got_years == sorted(set(years.tolist()))
+    for r in rows:
+        y = int(r[0])
+        sel = years == y
+        assert int(r[1]) == int(sel.sum())
+        assert int(r[2]) == int(vals[sel].sum())
+
+
+def test_stale_stats_after_dml():
+    """Zone maps / domains refresh on DML: the optimizer must not prune
+    with pre-mutation statistics (silent wrong results before round 4)."""
+    import numpy as np
+
+    c = Connection()
+    c.register_numpy("t", {"v": np.array([1, 2, 3], np.int64)})
+    assert c.sql("SELECT count(*) AS c FROM t WHERE v > 100").strings() \
+        == [["0"]]
+    c.sql("INSERT INTO t VALUES (200)")
+    assert c.sql("SELECT count(*) AS c FROM t WHERE v > 100").strings() \
+        == [["1"]]
+    c.sql("UPDATE t SET v = 500 WHERE v = 2")
+    assert c.sql("SELECT count(*) AS c FROM t WHERE v > 100").strings() \
+        == [["2"]]
+    c.sql("DELETE FROM t WHERE v = 500")
+    assert c.sql("SELECT count(*) AS c FROM t WHERE v > 100").strings() \
+        == [["1"]]
+
+
 def test_concat_large_dict_observed_pairs():
     # cross-product dictionary would be 300*300=90000 entries (under the
     # budget) — shrink the budget to force the observed-pairs path

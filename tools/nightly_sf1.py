@@ -23,6 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="ARTIFACTS/sf1_tpu_all22.log")
+    ap.add_argument("--queries", default="",
+                    help="comma-separated subset, e.g. 10,11,12 (default all)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +43,9 @@ def main():
     conn = connect(sf=args.sf)
     lines.append(f"# load: {time.time() - t_load:.1f}s")
     n_pass = 0
-    for n in range(1, 23):
+    todo = ([int(x) for x in args.queries.split(",") if x.strip()]
+            if args.queries else list(range(1, 23)))
+    for n in todo:
         with open(os.path.join(qdir, f"q{n:02d}.sql")) as f:
             sql = f.read()
         t0 = time.time()
@@ -65,11 +69,11 @@ def main():
         # write incrementally so a timeout still leaves a usable artifact
         with open(args.out, "w") as f:
             f.write("\n".join(lines) + "\n")
-    lines.append(f"# {n_pass}/22 PASS  finished={time.strftime('%Y-%m-%d %H:%M:%S')}")
+    lines.append(f"# {n_pass}/{len(todo)} PASS  finished={time.strftime('%Y-%m-%d %H:%M:%S')}")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}: {n_pass}/22 PASS")
-    sys.exit(0 if n_pass == 22 else 1)
+    sys.exit(0 if n_pass == len(todo) else 1)
 
 
 if __name__ == "__main__":

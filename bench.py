@@ -42,16 +42,48 @@ sections.join_probe = hash-join probe rows/s (the north star's second
 metric): the direct-address PK probe (row = lut[key] gather + liveness,
 the engine's production path for every TPC-H PK-FK join,
 plan/physical.py _pk_probe) over SF1 lineitem.l_orderkey -> orders.
-Minimum traffic: 8 B key read + 4 B random LUT gather = 12 B/row.
-sections.join_probe_csr = the general sorted-CSR probe (binary search,
-ops/join.py) used when no PK index exists.
+vs_roofline uses the BANDWIDTH model (8 B key + 4 B LUT gather =
+12 B/row), which the measurement shows is NOT the binding limit on TPU:
+random gathers issue per-element through the scalar path, so the probe
+is gather-ISSUE-RATE bound, not HBM bound (tens of Mrow/s per chip).
+This is the honest architectural cost of pointer-chasing on this
+hardware — and exactly why the engine's design puts its weight on the
+bitmap/mask paths (roofline-saturating) and direct-address joins (ONE
+gather per row, no chains) instead of chain-walking hash tables.
+sections.join_probe_csr = the general sorted-CSR probe (log2(n) binary-
+search gathers per row, ops/join.py) used when no PK index exists.
 """
 
 import itertools
 import json
+import signal
 import statistics
 import sys
 import time
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _with_timeout(seconds, fn, fallback):
+    """Run fn() under SIGALRM; on timeout run fallback() instead — the
+    tunnel's compile service occasionally stalls on re-wrapped programs
+    and the driver's bench run must never hang."""
+    def _raise(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except _Timeout:
+        _log("bench: primary timing timed out — conservative fallback")
+        signal.alarm(0)
+        return fallback()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 HBM_BYTES_PER_S = 819e9  # TPU v5e spec sheet
 Q6_MODEL_BYTES_PER_ROW = 6 / 8 / 6 + 8   # words + 2x int32 (uncompressed)
@@ -73,10 +105,18 @@ def _timed(fn, arg, ctrl, k=32, rounds=5):
         round_(ctrl)
     tw = statistics.median([round_(fn) for _ in range(rounds)])
     tc = statistics.median([round_(ctrl) for _ in range(rounds)])
-    return max(tw - tc, 1e-9) / k
+    if tw - tc < 0.05 * tw:
+        _log(f"bench: control subtraction degenerate "
+             f"(work {tw:.4f}s ctrl {tc:.4f}s) — using raw work time")
+        return tw / k
+    return (tw - tc) / k
 
 
-def _timed_variants(per_variant_fns, ctrl_fns, k=8, rounds=5):
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _timed_variants(per_variant_fns, ctrl_fns, k=4, rounds=3):
     """Time a round of NV async prepared-statement dispatches, control-
     subtracting the same dispatch pattern over a trivial program."""
     import jax.numpy as jnp
@@ -94,7 +134,14 @@ def _timed_variants(per_variant_fns, ctrl_fns, k=8, rounds=5):
         round_(ctrl_fns)
     tw = statistics.median([round_(per_variant_fns) for _ in range(rounds)])
     tc = statistics.median([round_(ctrl_fns) for _ in range(rounds)])
-    return max(tw - tc, 1e-9) / (k * len(per_variant_fns))
+    if tw - tc < 0.05 * tw:
+        # degenerate subtraction (tunnel overhead jitter swamped the
+        # control): report UNSUBTRACTED time — conservative, the flat
+        # dispatch overhead is charged against the engine
+        _log(f"bench: control subtraction degenerate "
+             f"(work {tw:.4f}s ctrl {tc:.4f}s) — using raw work time")
+        return tw / (k * len(per_variant_fns))
+    return (tw - tc) / (k * len(per_variant_fns))
 
 
 def bench_q6(catalog, ex, sf=1.0):
@@ -112,14 +159,16 @@ def bench_q6(catalog, ex, sf=1.0):
     table = catalog.table("lineitem")
     n_rows = table.num_rows
     plan = opt.optimize(queries.get_query(6), catalog)
+    _log("bench: compiling q6 plan")
     jitted, arrays, meta_box = ex.compile_plan(plan)
+    _log("bench: q6 plan ready")
     spec, _ = ex._collect_inputs(plan.walk())
     slot_of = {kind: i for i, (_, kind, _n) in enumerate(spec)}
     agg = next(op for op in plan.walk() if isinstance(op, P.GroupAggregate))
     pplan = agg._pallas[0] if agg._pallas is not None else None
 
-    # 64 distinct predicate variants -> per-variant prepared-exec args
-    NV = 64
+    # distinct predicate variants -> per-variant prepared-exec args
+    NV = 32
     var_args = []
     for year, dlo, qhi in itertools.islice(
             itertools.product((1993, 1994, 1995, 1996), (3, 4, 5, 6),
@@ -143,17 +192,20 @@ def bench_q6(catalog, ex, sf=1.0):
             args[slot_of["mask8"]] = mask.astype(jnp.int8)
         jax.block_until_ready(args)
         var_args.append(args)
+    _log(f"bench: {NV} variants prepared")
 
-    fns = [
-        (lambda a=a: jitted(a)[0][0].astype(jnp.int64).ravel()[0])
-        for a in var_args]
+    # one dispatch per prepared execution (jit folds the scalar extract)
+    run_one = jax.jit(lambda a: jitted(a)[0][0].astype(jnp.int64).ravel()[0])
+    fns = [(lambda a=a: run_one(a)) for a in var_args]
     trivial = jax.jit(lambda w: w.ravel()[:1].astype(jnp.int64).sum())
     ctrl_fns = [(lambda a=a: trivial(a[slot_of["words"]]))
                 for a in var_args]
     per = _timed_variants(fns, ctrl_fns)
+    _log("bench: q6 timing done")
     rows_per_s = n_rows / per
 
     # verify the canonical Q6 AFTER timing (D2H-heavy)
+    _log("bench: verifying q6 vs golden")
     rel = ex.execute(plan)
     rows = R.to_strings(rel)
     if answers.answers_available():
@@ -179,12 +231,15 @@ def bench_join_probe(catalog):
     lut, max_key = pkidx.lut, pkidx.max_key
     omask = orders.row_mask()
 
-    # 8 shifted key variants (distinct inputs -> no result caching)
+    # shifted key variants (distinct inputs -> no result caching),
+    # dispatched per variant like a prepared probe (lax.map-wrapped
+    # programs stall the tunnel's compile service)
+    _log("bench: join probe")
     NV = 8
-    shifts = jnp.arange(NV, dtype=jnp.int64)[:, None]
-    stacked = keys[None, :] + shifts          # variant v probes keys+v
-    jax.block_until_ready(stacked)
+    variants = [keys + v for v in range(NV)]
+    jax.block_until_ready(variants)
 
+    @jax.jit
     def pk_probe(k):
         in_range = (k >= 0) & (k <= max_key)
         row = lut[jnp.clip(k, 0, max_key)]
@@ -193,22 +248,26 @@ def bench_join_probe(catalog):
         found = in_range & present & alive
         return jnp.sum(jnp.where(found, row.astype(jnp.int64), 0))
 
-    f = jax.jit(lambda s: jnp.sum(jax.lax.map(pk_probe, s)))
-    ctrl = jax.jit(lambda s: s[:, :1].sum())
-    per = _timed(f, stacked, ctrl, k=16)
-    pk_rows_s = NV * n / per
+    trivial = jax.jit(lambda k: k[:1].sum())
+    fns = [(lambda k=k: pk_probe(k)) for k in variants]
+    ctrl_fns = [(lambda k=k: trivial(k)) for k in variants]
+    per = _timed_variants(fns, ctrl_fns)
+    _log("bench: pk probe done")
+    pk_rows_s = n / per
 
     # general CSR probe (sorted unique keys + binary search)
     okeys = orders.columns["o_orderkey"].data.astype(jnp.int64)
     bs = join_ops.build(okeys, omask)
 
+    @jax.jit
     def csr_probe(k):
         entry = join_ops.probe(bs, k, jnp.ones_like(k, jnp.bool_))
         return jnp.sum(jnp.where(entry >= 0, entry.astype(jnp.int64), 0))
 
-    f2 = jax.jit(lambda s: jnp.sum(jax.lax.map(csr_probe, s)))
-    per2 = _timed(f2, stacked, ctrl, k=16)
-    csr_rows_s = NV * n / per2
+    fns2 = [(lambda k=k: csr_probe(k)) for k in variants]
+    per2 = _timed_variants(fns2, ctrl_fns)
+    _log("bench: csr probe done")
+    csr_rows_s = n / per2
     return pk_rows_s, csr_rows_s
 
 

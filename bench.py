@@ -3,55 +3,52 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sections"}.
 
-value        = lineitem rows/s through the full Q6 query (range-encoded
-               bitmap AND of shipdate/discount/quantity + fused exact
-               revenue reduction), SF1, steady-state device throughput.
-vs_baseline  = fraction of the per-chip HBM roofline for this query's
+value        = lineitem rows/s executing the full prepared Q6 query
+               (range-encoded bitmap AND of shipdate/discount/quantity +
+               fused exact revenue reduction), SF1, end-to-end through the
+               remote-attached runtime.
+vs_baseline  = fraction of the per-chip HBM roofline for the query's
                minimum UNCOMPRESSED traffic model (BASELINE.json north
-               star: bitmap scan >= 0.7 of roofline).  Values above 1.0
-               are real: the engine streams LESS than the model's bytes
-               (packed predicate words at 0.125 B/row instead of a byte
-               mask, and the two int32 payload columns packed into one —
-               the storage-side analog of the reference's bitpacking,
-               src/storage/compression/bitpacking.cpp), so the same HBM
-               bandwidth yields more rows/s than the uncompressed model
-               allows.
+               star: bitmap scan >= 0.7 of roofline; 8.125 B/row = packed
+               predicate words + two int32 payload columns).
 
-Method: the query plan is compiled once; 64 DISTINCT predicate variants
-(different shipdate/discount/quantity windows -> different CUBIT word
-arrays fed to the SAME executable, i.e. a prepared statement executed
-with different parameters) are dispatched back-to-back (async) each
-round — exactly how a serving deployment executes a prepared query.
-Distinct inputs with distinct answers make result replay/caching by the
-remote runtime impossible; the tunnel's flat per-dispatch cost is
-measured with an otherwise-identical TRIVIAL program over the same
-inputs and subtracted.  Each timed round ends with ONE device->host pull
-of a scalar that depends on every output (the only barrier the tunneled
-runtime honors).  `value` is therefore device execution throughput —
-what a locally-attached deployment sustains.  Correctness is verified
-against the reference golden answers AFTER timing.
+MEASUREMENT FIDELITY (this environment): the TPU is attached through a
+relay tunnel whose runtime (a) charges a large flat cost per dispatch
+once any device->host sync has occurred, and (b) memoizes repeated
+identical computations BY VALUE — batched/amplified timing shapes
+(lax.map over variants, repeat-loops, offset rotations) return at rates
+ABOVE the physical HBM bound and were therefore rejected as
+measurements.  This script reports the CONSERVATIVE end-to-end prepared-
+statement execution rate: 32 DISTINCT predicate variants (distinct CUBIT
+word arrays -> distinct answers) dispatched round-robin against the one
+compiled plan program, with an identically-structured trivial program's
+dispatch cost subtracted (falling back to UNSUBTRACTED wall time when
+the subtraction is within noise).  All tunnel overhead is charged to the
+engine, so `value` is a LOWER BOUND on device throughput.
 
-Roofline model (TPU v5e, ~819 GB/s HBM): minimum traffic for Q6 with
-UNCOMPRESSED int32 columns is one combined predicate word-array read
-(0.125 B/row) plus two int32 payload columns (8 B/row) = 8.125 B/row.
-The engine's actual hot loop (ops/pallas_kernels.py fused_scan_sum)
-streams 0.125 + 4 = 4.125 B/row thanks to payload packing, measured at
-~830 GB/s effective — the spec-sheet bandwidth — hence vs_baseline ~2.
+The hot loop's device throughput is measured separately by
+benchmarks/q6_kernel_variants.py (the same kernel builder + prepare-time
+arrays the engine executes: ops/pallas_kernels.fused_scan_sum).  Result
+on this chip, recorded in ARTIFACTS/q6_kernel_tpu_r04.txt: ~200 Grow/s
+= ~2.0x the 8.125 B/row roofline model (~830 GB/s effective HBM traffic
+at the kernel's real 4.125 B/row, thanks to bit-plane packed predicate
+words + the packed int32 payload — the storage-side analog of the
+reference's bitpacking, src/storage/compression/bitpacking.cpp).
 
-sections.join_probe = hash-join probe rows/s (the north star's second
-metric): the direct-address PK probe (row = lut[key] gather + liveness,
-the engine's production path for every TPC-H PK-FK join,
+sections.join_probe = the direct-address PK probe (row = lut[key] gather
++ liveness, the engine's production path for every TPC-H PK-FK join,
 plan/physical.py _pk_probe) over SF1 lineitem.l_orderkey -> orders.
-vs_roofline uses the BANDWIDTH model (8 B key + 4 B LUT gather =
-12 B/row), which the measurement shows is NOT the binding limit on TPU:
-random gathers issue per-element through the scalar path, so the probe
-is gather-ISSUE-RATE bound, not HBM bound (tens of Mrow/s per chip).
-This is the honest architectural cost of pointer-chasing on this
-hardware — and exactly why the engine's design puts its weight on the
-bitmap/mask paths (roofline-saturating) and direct-address joins (ONE
-gather per row, no chains) instead of chain-walking hash tables.
-sections.join_probe_csr = the general sorted-CSR probe (log2(n) binary-
-search gathers per row, ops/join.py) used when no PK index exists.
+vs_roofline uses the BANDWIDTH model (12 B/row); the measurement shows
+the binding limit on TPU is random-gather ISSUE RATE, not HBM — the
+honest architectural cost of pointer-chasing on this hardware, and why
+the engine leans on bitmap/mask scans (roofline-saturating) and
+ONE-gather-per-row direct-address joins instead of chain-walking hash
+tables.  sections.join_probe_csr = the general sorted-CSR probe
+(log2(n) binary-search gathers per row, ops/join.py) used when no PK
+index exists.
+
+Correctness: the canonical Q6 is verified against the reference golden
+answers after timing; exits 1 on mismatch.
 """
 
 import itertools
@@ -61,15 +58,23 @@ import statistics
 import sys
 import time
 
+HBM_BYTES_PER_S = 819e9  # TPU v5e spec sheet
+Q6_MODEL_BYTES_PER_ROW = 6 / 8 / 6 + 8   # words + 2x int32 (uncompressed)
+PROBE_MODEL_BYTES_PER_ROW = 12.0         # 8B key + 4B LUT gather
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 
 class _Timeout(Exception):
     pass
 
 
 def _with_timeout(seconds, fn, fallback):
-    """Run fn() under SIGALRM; on timeout run fallback() instead — the
-    tunnel's compile service occasionally stalls on re-wrapped programs
-    and the driver's bench run must never hang."""
+    """Run fn() under SIGALRM; on timeout run fallback() — the tunnel's
+    compile service occasionally stalls and the driver's bench run must
+    never hang."""
     def _raise(signum, frame):
         raise _Timeout()
 
@@ -85,40 +90,12 @@ def _with_timeout(seconds, fn, fallback):
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
 
-HBM_BYTES_PER_S = 819e9  # TPU v5e spec sheet
-Q6_MODEL_BYTES_PER_ROW = 6 / 8 / 6 + 8   # words + 2x int32 (uncompressed)
-PROBE_MODEL_BYTES_PER_ROW = 12.0         # 8B key + 4B LUT gather
-
-
-def _timed(fn, arg, ctrl, k=32, rounds=5):
-    import jax
-    import jax.numpy as jnp
-
-    def round_(g):
-        t0 = time.perf_counter()
-        outs = [g(arg) for _ in range(k)]
-        int(jnp.sum(jnp.stack(outs)))    # dependent pull = real barrier
-        return time.perf_counter() - t0
-
-    for _ in range(2):
-        round_(fn)
-        round_(ctrl)
-    tw = statistics.median([round_(fn) for _ in range(rounds)])
-    tc = statistics.median([round_(ctrl) for _ in range(rounds)])
-    if tw - tc < 0.05 * tw:
-        _log(f"bench: control subtraction degenerate "
-             f"(work {tw:.4f}s ctrl {tc:.4f}s) — using raw work time")
-        return tw / k
-    return (tw - tc) / k
-
-
-def _log(msg):
-    print(msg, file=sys.stderr, flush=True)
-
 
 def _timed_variants(per_variant_fns, ctrl_fns, k=4, rounds=3):
-    """Time a round of NV async prepared-statement dispatches, control-
-    subtracting the same dispatch pattern over a trivial program."""
+    """Seconds per dispatch over rounds of k x NV distinct async
+    dispatches ended by ONE dependent pull; control-subtracts an
+    identically-structured trivial program, falling back to raw wall time
+    when the subtraction is degenerate (conservative)."""
     import jax.numpy as jnp
 
     def round_(fns):
@@ -135,9 +112,6 @@ def _timed_variants(per_variant_fns, ctrl_fns, k=4, rounds=3):
     tw = statistics.median([round_(per_variant_fns) for _ in range(rounds)])
     tc = statistics.median([round_(ctrl_fns) for _ in range(rounds)])
     if tw - tc < 0.05 * tw:
-        # degenerate subtraction (tunnel overhead jitter swamped the
-        # control): report UNSUBTRACTED time — conservative, the flat
-        # dispatch overhead is charged against the engine
         _log(f"bench: control subtraction degenerate "
              f"(work {tw:.4f}s ctrl {tc:.4f}s) — using raw work time")
         return tw / (k * len(per_variant_fns))
@@ -194,13 +168,24 @@ def bench_q6(catalog, ex, sf=1.0):
         var_args.append(args)
     _log(f"bench: {NV} variants prepared")
 
-    # one dispatch per prepared execution (jit folds the scalar extract)
-    run_one = jax.jit(lambda a: jitted(a)[0][0].astype(jnp.int64).ravel()[0])
-    fns = [(lambda a=a: run_one(a)) for a in var_args]
-    trivial = jax.jit(lambda w: w.ravel()[:1].astype(jnp.int64).sum())
-    ctrl_fns = [(lambda a=a: trivial(a[slot_of["words"]]))
-                for a in var_args]
-    per = _timed_variants(fns, ctrl_fns)
+    # per-variant dispatch of the CACHED plan program ([0][0] is host
+    # pytree indexing — no extra device op; re-wrapping the program in
+    # another jit stalls the tunnel's compile service)
+    fns = [(lambda a=a: jitted(a)[0][0]) for a in var_args]
+    trivial = jax.jit(lambda args: sum(
+        a.ravel()[:1].astype(jnp.int64).sum() for a in args))
+    ctrl_fns = [(lambda a=a: trivial(a)) for a in var_args]
+
+    def _primary():
+        return _timed_variants(fns, ctrl_fns, k=4, rounds=3)
+
+    def _fallback():
+        t0 = time.perf_counter()
+        outs = [jitted(a)[0][0] for a in var_args for _ in range(2)]
+        int(jnp.sum(jnp.stack(outs)))
+        return (time.perf_counter() - t0) / (2 * NV)
+
+    per = _with_timeout(900, _primary, _fallback)
     _log("bench: q6 timing done")
     rows_per_s = n_rows / per
 
@@ -231,9 +216,6 @@ def bench_join_probe(catalog):
     lut, max_key = pkidx.lut, pkidx.max_key
     omask = orders.row_mask()
 
-    # shifted key variants (distinct inputs -> no result caching),
-    # dispatched per variant like a prepared probe (lax.map-wrapped
-    # programs stall the tunnel's compile service)
     _log("bench: join probe")
     NV = 8
     variants = [keys + v for v in range(NV)]
@@ -295,6 +277,11 @@ def main():
                 "rows_per_s": q6_rows_s,
                 "vs_roofline_8.125B_row": q6_rows_s / q6_roof,
                 "pallas_kernel": used_pallas,
+                "note": ("conservative end-to-end prepared-exec rate "
+                         "through the remote tunnel (dispatch overhead "
+                         "charged to the engine); kernel device "
+                         "throughput ~200 Grow/s = ~2.0x the roofline "
+                         "model, see ARTIFACTS/q6_kernel_tpu_r04.txt"),
                 "actual_bytes_per_row": 4.125 if used_pallas else 9.0,
             },
             "join_probe": {

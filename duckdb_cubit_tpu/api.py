@@ -64,6 +64,7 @@ class Connection:
         self.executor = Executor(self.catalog, self.config)
         self.binder = Binder(self.catalog, self.executor)
         self._txn_snapshot = None
+        self._txn_wal: list[str] | None = None
         # durability (storage/persist.py): when set, DDL/DML statements are
         # WAL-logged under this directory and checkpoint() snapshots to it
         self.db_path: str | None = None
@@ -123,15 +124,22 @@ class Connection:
         status, rows = execute_statement(self, stmt)
         # durability: log DDL/DML to the WAL after successful execution
         # (reference write_ahead_log.cpp; replayed by
-        # storage/persist.open_database, truncated by checkpoint)
+        # storage/persist.open_database, truncated by checkpoint).
+        # Inside an open transaction, entries are buffered and only reach
+        # the on-disk WAL at COMMIT — a ROLLBACK discards them, so aborted
+        # statements can never be resurrected by replay-on-open (reference
+        # transaction-local WAL buffering, write_ahead_log.cpp).
         if (getattr(self, "db_path", None)
                 and not getattr(self, "_wal_replaying", False)
                 and isinstance(stmt, (A.CreateTable, A.CreateIndex,
                                       A.Insert, A.Delete, A.Update,
                                       A.DropTable))):
-            from .storage.persist import wal_append
+            if self._txn_wal is not None:
+                self._txn_wal.append(query)
+            else:
+                from .storage.persist import wal_append
 
-            wal_append(self.db_path, query)
+                wal_append(self.db_path, query)
         return Result(None, status=status, static_rows=rows)
 
     # ------------------------------------------------------- transactions
@@ -139,17 +147,27 @@ class Connection:
         if self._txn_snapshot is not None:
             raise RuntimeError("transaction already active")
         self._txn_snapshot = self.catalog.snapshot()
+        self._txn_wal = []
 
     def commit(self):
         if self._txn_snapshot is None:
             raise RuntimeError("no active transaction")
+        # flush buffered WAL entries: the transaction becomes durable only
+        # now, and atomically with respect to replay order
+        if self.db_path and self._txn_wal:
+            from .storage.persist import wal_append
+
+            for q in self._txn_wal:
+                wal_append(self.db_path, q)
         self._txn_snapshot = None
+        self._txn_wal = None
 
     def rollback(self):
         if self._txn_snapshot is None:
             raise RuntimeError("no active transaction")
         self.catalog.restore(self._txn_snapshot)
         self._txn_snapshot = None
+        self._txn_wal = None
 
     def execute_plan(self, plan, profile: bool = False) -> Result:
         return Result(self.executor.execute(plan, profile=profile))

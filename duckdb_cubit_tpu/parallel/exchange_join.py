@@ -170,4 +170,10 @@ def execute(ctx, op, probe_rel, build_rel, pkey, bkey):
             v = matched if v is None else (v & matched)
         cols[op.build_prefix + nm] = RelColumn(arr, c.dtype, c.dictionary,
                                                c.domain, v)
+    if left and op.found_column:
+        # decorrelated EXISTS rewrites (binder.py:965) filter on this flag;
+        # mirror the standard path's emission (plan/physical.py:729)
+        from ..types import BOOL
+
+        cols[op.found_column] = RelColumn(matched & valid, BOOL, None)
     return Relation(cols, valid, out_cap)

@@ -1587,21 +1587,23 @@ class OrderBy(PhysicalOperator):
         operands = []
         for name, desc in self.keys:
             c = rel.columns[name]
+            # total-order encode: floats through the sign-flip bijection
+            # (kernels.monotone_i64), ints as-is; DESC via bitwise NOT
+            # (~a = -a-1 is a monotone-decreasing bijection on int64, no
+            # -INT64_MIN overflow).  NULLS/masked rows are ordered by a
+            # separate class operand (0=value, 1=NULL, 2=masked) instead of
+            # in-band sentinels, so legitimate keys near the int64 extremes
+            # can never collide with them.
             if c.dtype.id == TypeId.DOUBLE:
-                a = c.array
-                key = jnp.where(rel.mask, jnp.where(desc, -a, a), jnp.inf)
-                if c.valid is not None:   # NULLS LAST, before invalid rows
-                    key = jnp.where(rel.mask & ~c.valid, jnp.float64(1e308),
-                                    key)
-                operands.append(key)
+                a = kernels.monotone_i64(c.array)
             else:
                 a = c.array.astype(jnp.int64)
-                key = jnp.where(desc, -a, a)
-                key = jnp.where(rel.mask, key, jnp.int64(2**62))
-                if c.valid is not None:
-                    key = jnp.where(rel.mask & ~c.valid, jnp.int64(2**62 - 1),
-                                    key)
-                operands.append(key)
+            key = jnp.where(desc, ~a, a)
+            cls = jnp.where(rel.mask, jnp.int8(0), jnp.int8(2))
+            if c.valid is not None:   # NULLS LAST, before masked rows
+                cls = jnp.where(rel.mask & ~c.valid, jnp.int8(1), cls)
+            operands.append(cls)
+            operands.append(key)
         rows = jnp.arange(n, dtype=jnp.int32)
         out = jax.lax.sort(tuple(operands) + (rows,), num_keys=len(operands))
         perm = out[-1]
@@ -1731,10 +1733,13 @@ class Window(PhysicalOperator):
             c = rel.columns[k]
             a = c.array
             if jnp.issubdtype(a.dtype, jnp.floating):
-                enc = kernels.monotone_i64(-a if desc else a)
+                enc = kernels.monotone_i64(a)
             else:
-                a = a.astype(jnp.int64)
-                enc = -a if desc else a
+                enc = a.astype(jnp.int64)
+            if desc:
+                # bitwise NOT: monotone-decreasing bijection (no -INT64_MIN
+                # overflow, unlike arithmetic negation)
+                enc = ~enc
             if c.valid is not None:
                 orders.append((~c.valid).astype(jnp.int64))
                 enc = jnp.where(c.valid, enc, jnp.int64(0))

@@ -1404,13 +1404,18 @@ class Binder:
             a, b = rec(args[0]), rec(args[1])
             return E.ValidIf(a, ~(a == b))
         if name in ("greatest", "least"):
+            # NULL-aware fold (Postgres semantics): NULL arguments are
+            # ignored, so greatest(1, NULL) = 1; result is NULL only when
+            # every argument is NULL
             if len(args) < 2:
                 raise BindError(f"{name}() takes 2+ arguments")
             out = rec(args[0])
             for a in args[1:]:
                 e = rec(a)
                 cond = (out > e) if name == "greatest" else (out < e)
-                out = E.Case(cond, out, e)
+                picked = E.Case(cond, out, e)
+                picked = E.Case(E.IsNull(out), e, picked)
+                out = E.Case(E.IsNull(e), out, picked)
             return out
         raise BindError(f"unknown function {name}")
 

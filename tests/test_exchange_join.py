@@ -130,3 +130,21 @@ def test_tpch_on_mesh_with_exchange(q):
         sql = f.read()
     rows = conn.sql(sql).strings()
     assert not answers.compare(rows, 0.01, q)
+
+
+def test_exchange_left_join_with_found_column():
+    # ADVICE r4 (medium): decorrelated correlated-COUNT subqueries lower to
+    # a left join with found_column (binder.py:960); the exchange path must
+    # emit the match flag or the downstream CASE on it raises KeyError
+    tables = _tables()
+    sql = ("SELECT count(*) AS c FROM probe WHERE "
+           "(SELECT count(*) FROM build WHERE build.k = probe.k) > 3")
+    want = Connection()
+    for name, cols in tables.items():
+        want.register_numpy(name, cols)
+    expected = want.sql(sql).strings()
+    conn = _mesh_conn(tables)
+    rows, joins = _join_ops(conn, sql)
+    assert rows == expected
+    assert any(getattr(j, "_exchange_used", False) for j in joins), \
+        "EXISTS join did not take the exchange lowering"

@@ -79,3 +79,28 @@ def test_wal_truncated_by_checkpoint(tmp_path):
     assert os.path.exists(os.path.join(db, "wal.sql"))
     conn.checkpoint()
     assert not os.path.exists(os.path.join(db, "wal.sql"))
+
+
+def test_rollback_not_resurrected_by_wal_replay(tmp_path):
+    # ADVICE r4 (high): rolled-back DML must not reach the on-disk WAL
+    db = str(tmp_path / "db")
+    conn = Connection().attach(db)
+    _populate(conn)
+    conn.sql("BEGIN")
+    conn.sql("INSERT INTO t VALUES (9, 90, 'z')")
+    conn.sql("UPDATE t SET v = 1 WHERE k = 1")
+    conn.sql("ROLLBACK")
+    conn2 = open_database(db)
+    rows = conn2.sql("SELECT k, v FROM t ORDER BY k").strings()
+    assert rows == [["1", "10"], ["2", "20"], ["3", "30"]]
+
+
+def test_commit_flushes_buffered_wal(tmp_path):
+    db = str(tmp_path / "db")
+    conn = Connection().attach(db)
+    _populate(conn)
+    conn.sql("BEGIN")
+    conn.sql("INSERT INTO t VALUES (4, 40, 'c')")
+    conn.sql("COMMIT")
+    conn2 = open_database(db)
+    assert conn2.sql("SELECT count(*) AS c FROM t").strings() == [["4"]]

@@ -464,6 +464,11 @@ class Executor:
             elif kind == "unique":
                 target._force_expand = True
                 changed = True
+            elif kind == "pkprobe":
+                # Pallas monotone-probe overflow (sparse keys): retry the
+                # stage on the XLA gather path
+                target._no_kernel_probe = True
+                changed = True
             elif kind == "exq":
                 # radix-exchange bucket overflow: double the per-destination
                 # quotas (SetRepartitionRadixBits analog)
@@ -717,7 +722,10 @@ class Executor:
             Executor._cache_put(Executor._compact_cache, key, fn)
         outs, vouts, valid = fn(rel.mask, [c.array for c in cols],
                                 [c.valid for c in cols])
-        new_cols = {n: RelColumn(a, c.dtype, c.dictionary, c.domain, v)
+        # compaction gathers by ascending row index, so sorted columns stay
+        # sorted (pallas_probe monotone precondition survives the boundary)
+        new_cols = {n: RelColumn(a, c.dtype, c.dictionary, c.domain, v,
+                                 monotone=c.monotone)
                     for n, c, a, v in zip(names, cols, outs, vouts)}
         return Relation(new_cols, valid, cap)
 
@@ -748,7 +756,8 @@ class Executor:
             cols = [r.columns[n] for n in names]
             bmeta.append((names,
                           [(col.dtype, col.dictionary, col.domain,
-                            col.valid is not None) for col in cols],
+                            col.valid is not None, col.monotone)
+                           for col in cols],
                           r.capacity))
             arrays.append(r.mask)
             for col in cols:
@@ -756,7 +765,7 @@ class Executor:
                 if col.valid is not None:
                     arrays.append(col.valid)
         bkey = tuple((tuple(names),
-                      tuple((str(m[0]), m[3]) for m in metas), cap)
+                      tuple((str(m[0]), m[3], m[4]) for m in metas), cap)
                      for names, metas, cap in bmeta)
         sig = ("stage", self._stage_signature(root, bindex),
                self._catalog_version(), bkey,
@@ -787,14 +796,16 @@ class Executor:
                     mask = args[pos]
                     pos += 1
                     cols = {}
-                    for n, (dt, dic, dom, has_valid) in zip(names, metas):
+                    for n, (dt, dic, dom, has_valid, mono) in zip(names,
+                                                                  metas):
                         arr = args[pos]
                         pos += 1
                         v = None
                         if has_valid:
                             v = args[pos]
                             pos += 1
-                        cols[n] = RelColumn(arr, dt, dic, dom, v)
+                        cols[n] = RelColumn(arr, dt, dic, dom, v,
+                                            monotone=mono)
                     ctx._cache[id(c)] = Relation(cols, mask, cap)
                 rel = root_ref.execute(ctx)
                 meta_box["names"] = list(rel.columns.keys())

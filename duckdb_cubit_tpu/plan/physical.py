@@ -44,6 +44,11 @@ class RelColumn:
     # ValidityMask (validity_mask.hpp:50); produced by outer joins and
     # NULL-yielding aggregates, consumed by expressions and aggregates
     valid: jnp.ndarray | None = None
+    # array values are non-decreasing over positions (host-tracked from
+    # storage sortedness through order-preserving operators) — gates the
+    # Pallas monotone probe kernel (ops/pallas_probe.py).  Conservative:
+    # False whenever unknown.
+    monotone: bool = False
 
 
 @dataclasses.dataclass
@@ -349,7 +354,9 @@ class TableScan(PhysicalOperator):
         rel = Relation(
             {n: RelColumn(cols[n], table.columns[n].dtype,
                           table.columns[n].dictionary,
-                          getattr(table.columns[n], "domain", None))
+                          getattr(table.columns[n], "domain", None),
+                          monotone=(row_limit is None and getattr(
+                              table.columns[n], "is_sorted", False)))
              for n in cols},
             base_mask,
             capacity)
@@ -369,7 +376,11 @@ class TableScan(PhysicalOperator):
             cap = self._decode_cap
             rowids, count = kernels.mask_to_indices(mask, cap)
             valid = jnp.arange(cap) < count
+            mono = {n: c.monotone for n, c in rel.columns.items()}
             rel = rel.gather(rowids, valid, cap)
+            for n, c in rel.columns.items():
+                # rowids ascend, so a sorted source column stays sorted
+                c.monotone = mono[n]
         return rel
 
     def _self_signature(self):
@@ -572,13 +583,58 @@ class HashJoin(PhysicalOperator):
         inputs = ctx.scan_inputs.get(id(self))
         lut = inputs["pk_lut"] if inputs is not None else \
             ctx.catalog.table(base).pk_indexes[col].lut
-        k = probe_rel.columns[self.probe_keys[0]].array.astype(jnp.int64)
+        kcol = probe_rel.columns[self.probe_keys[0]]
+        k = kcol.array.astype(jnp.int64)
         in_range = (k >= 0) & (k <= max_key) & probe_rel.mask
+        if self._kernel_probe_eligible(ctx, kcol, probe_rel, max_key,
+                                       build_rel):
+            # Pallas monotone probe: ~1.5 Grow/s vs XLA's 134 Mrow/s gather
+            # wall (ops/pallas_probe.py, ARTIFACTS/probe_kernel_tpu_r05).
+            # Build-side liveness folds into the LUT with ONE scatter
+            # (scatter: 580 Mrow/s) so the probe is a single kernel pass;
+            # sparse-key overflow is a recoverable deferred check — the
+            # staged executor flips _no_kernel_probe and retries.
+            from ..ops import pallas_probe as PPK
+
+            bk = build_rel.columns[self.build_keys[0]].array
+            tgt = jnp.where(build_rel.mask,
+                            jnp.clip(bk, 0, max_key).astype(jnp.int64),
+                            jnp.int64(max_key + 1))
+            alive_slots = jnp.zeros(max_key + 2, jnp.bool_).at[tgt].set(
+                True, mode="drop")[: max_key + 1]
+            lut_eff = jnp.where(alive_slots, lut, jnp.int32(-1))
+            kc = jnp.clip(k, 0, max_key).astype(jnp.int32)
+            row, ovf = PPK.monotone_gather(lut_eff, kc)
+            ctx.add_check(self, "pkprobe", ovf == 0)
+            found = in_range & (row >= 0)
+            return jnp.where(found, row, -1), found
         row = lut[jnp.clip(k, 0, max_key)]
         present = row >= 0
         alive = build_rel.mask[jnp.maximum(row, 0)]
         found = in_range & present & alive
         return jnp.where(found, row, -1), found
+
+    def _kernel_probe_eligible(self, ctx, kcol, probe_rel, max_key,
+                               build_rel) -> bool:
+        """Host gate for the Pallas probe: sorted base-aligned probe keys
+        (the array is the full storage column, so key density matches
+        storage density), a TPU backend, and feasible shapes."""
+        import jax as _jax
+
+        from ..ops import pallas_probe as PPK
+
+        if getattr(self, "_no_kernel_probe", False) or ctx.verify_mode:
+            return False
+        if not kcol.monotone or max_key + 1 >= 2**31:
+            return False
+        if _jax.default_backend() != "tpu":
+            return False
+        if kcol.valid is not None:   # NULL-able FK keys: generic path
+            return False
+        if self.build_keys[0] not in build_rel.columns:
+            return False
+        return PPK.plan_monotone_gather(probe_rel.capacity,
+                                        max_key + 1) is not None
 
     def _execute(self, ctx):
         probe_rel = self.children[0].execute(ctx)

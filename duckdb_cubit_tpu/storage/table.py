@@ -56,6 +56,12 @@ class Column:
     # dispatch+sync pays a full ~25ms round trip), so the engine never does
     # D2H outside result materialization.
     host: np.ndarray | None = None
+    # non-decreasing over the stored row order (ingest-time host check on
+    # integer key columns).  Storage layout sortedness is what lets the
+    # Pallas monotone probe kernel (ops/pallas_probe.py) run without a
+    # sort: FK columns like lineitem.l_orderkey are generated sorted.
+    # DML appends clear it unless the appended run preserves order.
+    is_sorted: bool = False
 
     @property
     def dict_size(self) -> int:
@@ -180,7 +186,10 @@ def from_numpy(
         dev_np = _narrow_decimal(dev_np, dtype, num_rows)
         padded = np.empty(capacity, dtype=dev_np.dtype)
         padded[:num_rows] = dev_np
-        padded[num_rows:] = dev_np[0] if num_rows else 0
+        # pad with the LAST value: masked everywhere, keeps zone maps as
+        # tight as first-value padding did, and keeps sorted columns
+        # globally monotone through the tail (pallas_probe precondition)
+        padded[num_rows:] = dev_np[num_rows - 1] if num_rows else 0
         zone_map = None
         if build_zone_maps and dtype.id in (
             TypeId.INT32, TypeId.INT64, TypeId.DECIMAL, TypeId.DATE,
@@ -200,8 +209,20 @@ def from_numpy(
             zone_map=zone_map,
             domain=domain,
             host=np.asarray(dev_np),
+            is_sorted=_ingest_sorted(dev_np, dtype, num_rows),
         )
     return Table(name=name, columns=columns, num_rows=num_rows, capacity=capacity)
+
+
+def _ingest_sorted(dev_np: np.ndarray, dtype: DataType,
+                   num_rows: int) -> bool:
+    """Ingest-time sortedness check on integer key-ish columns (drives the
+    Pallas monotone probe path)."""
+    if num_rows < 2 or dtype.id not in (TypeId.INT32, TypeId.INT64,
+                                        TypeId.DATE):
+        return False
+    a = dev_np[:num_rows]
+    return bool(np.all(a[1:] >= a[:-1]))
 
 
 def _narrow_decimal(dev_np: np.ndarray, dtype: DataType,
@@ -255,7 +276,7 @@ def from_encoded(name: str, cols: dict[str, dict],
         dev_np = _narrow_decimal(dev_np, dtype, num_rows)
         padded = np.empty(capacity, dtype=dev_np.dtype)
         padded[:num_rows] = dev_np
-        padded[num_rows:] = dev_np[0] if num_rows else 0
+        padded[num_rows:] = dev_np[num_rows - 1] if num_rows else 0
         zone_map = None
         if build_zone_maps and num_rows and dtype.id in (
             TypeId.INT32, TypeId.INT64, TypeId.DECIMAL, TypeId.DATE,
@@ -269,7 +290,9 @@ def from_encoded(name: str, cols: dict[str, dict],
             domain = _int_domain(zone_map, dtype)
         columns[col_name] = Column(col_name, dtype, jnp.asarray(padded),
                                    dictionary, zone_map, domain,
-                                   host=np.asarray(dev_np))
+                                   host=np.asarray(dev_np),
+                                   is_sorted=_ingest_sorted(dev_np, dtype,
+                                                            num_rows))
     return Table(name=name, columns=columns, num_rows=num_rows,
                  capacity=capacity)
 

@@ -10,6 +10,18 @@ positional cummax/cummin — finally scattered back to input row order.  No
 segment trees: prefix scans over sorted runs give running frames in O(n);
 the reference's default RANGE frame (current row + peers) is the rows
 prefix gathered at the row's LAST PEER position.
+
+Sliding frames (ROWS/RANGE BETWEEN m PRECEDING AND n FOLLOWING — the
+reference's WindowSegmentTree, window_segment_tree.cpp) are TPU-first
+re-architected: sum/count/avg are prefix-sum DIFFERENCES at the frame
+bounds, min/max use a log-doubling sparse table (two overlapping
+power-of-two windows cover any [a, b] exactly because min/max are
+idempotent), and RANGE bounds come from a vectorized in-segment binary
+search over the sorted order key.  A frame is either a legacy string
+("rows_upto" | "range_upto" | "partition") or a tuple
+(mode, lo, hi) with mode in {"rows", "range"}, lo/hi int offsets
+(None = UNBOUNDED): ("rows", -2, 3) = ROWS BETWEEN 2 PRECEDING AND
+3 FOLLOWING.
 """
 
 from __future__ import annotations
@@ -18,6 +30,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .kernels import monotone_i64
 
@@ -138,6 +151,92 @@ def _seg_running_idem(ctx: WindowCtx, values, op, ident):
     return v
 
 
+# ------------------------------------------------------- sliding frames
+def _seg_lower_bound(sorted_keys, lo_idx, hi_idx, targets):
+    """Vectorized lower_bound: first position p in [lo_idx, hi_idx) with
+    sorted_keys[p] >= targets (per element); returns hi_idx when none."""
+    n = sorted_keys.shape[0]
+    lo = lo_idx.astype(jnp.int64)
+    hi = hi_idx.astype(jnp.int64)
+    steps = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = jnp.take(sorted_keys, jnp.clip(mid, 0, n - 1))
+        go_right = active & (v < targets)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
+def frame_bounds(ctx: WindowCtx, frame, order_enc=None):
+    """-> (a, b) inclusive sorted-position bounds per row, or None for
+    legacy string frames.  order_enc: the monotone-encoded single order
+    key in SORTED order (required for ("range", lo, hi) frames)."""
+    if not isinstance(frame, tuple):
+        return None
+    mode, flo, fhi = frame
+    pos = jnp.arange(ctx.n, dtype=jnp.int64)
+    if mode == "rows":
+        a = ctx.seg_start if flo is None else jnp.maximum(
+            pos + int(flo), ctx.seg_start)
+        b = ctx.seg_end if fhi is None else jnp.minimum(
+            pos + int(fhi), ctx.seg_end)
+        return a, b
+    if mode == "range":
+        assert order_enc is not None, "RANGE frame needs one ORDER BY key"
+        k = order_enc
+        if flo is None:
+            a = ctx.seg_start
+        else:
+            a = _seg_lower_bound(k, ctx.seg_start, ctx.seg_end + 1,
+                                 k + int(flo))
+        if fhi is None:
+            b = ctx.seg_end
+        else:
+            # last position with key <= k + hi  ==  lower_bound(k+hi+1) - 1
+            b = _seg_lower_bound(k, ctx.seg_start, ctx.seg_end + 1,
+                                 k + int(fhi) + 1) - 1
+        return a, b
+    raise ValueError(mode)
+
+
+def _prefix_at(running, idx):
+    """running inclusive prefix value at position idx, 0 before start."""
+    return jnp.where(idx >= 0, jnp.take(running, jnp.maximum(idx, 0)),
+                     jnp.zeros((), running.dtype))
+
+
+def _sliding_sum(ctx: WindowCtx, values, a, b):
+    c = jnp.cumsum(values)
+    return jnp.where(b >= a, _prefix_at(c, b) - _prefix_at(c, a - 1),
+                     jnp.zeros((), c.dtype))
+
+
+def _sliding_idem(values, a, b, op, ident):
+    """min/max over [a, b] via a log-doubling sparse table: two
+    overlapping power-of-two windows (idempotent ops) — the TPU analog of
+    the reference's WindowSegmentTree queries."""
+    n = values.shape[0]
+    levels = [values]
+    span = 1
+    while span < n:
+        prev = levels[-1]
+        shifted = jnp.concatenate(
+            [prev[span:], jnp.full(min(span, n), ident, prev.dtype)])
+        levels.append(op(prev, shifted))
+        span <<= 1
+    table = jnp.stack(levels)                 # (K, n)
+    length = jnp.maximum(b - a + 1, 1)
+    k = 63 - jax.lax.clz(length.astype(jnp.int64))
+    pw = jnp.left_shift(jnp.int64(1), k)
+    flat = table.reshape(-1)
+    left = jnp.take(flat, k * n + jnp.clip(a, 0, n - 1))
+    right = jnp.take(flat, k * n + jnp.clip(b - pw + 1, 0, n - 1))
+    out = op(left, right)
+    return jnp.where(b >= a, out, jnp.full((), ident, values.dtype))
+
+
 # --------------------------------------------------------------- rankings
 def _ctx_of(ctx_or_parts, order_keys, valid) -> WindowCtx:
     if isinstance(ctx_or_parts, WindowCtx):
@@ -220,10 +319,15 @@ def _frame_gather(ctx: WindowCtx, running, frame: str):
     raise ValueError(frame)
 
 
-def agg(ctx: WindowCtx, kind: str, values, valid, frame: str = "range_upto"):
+def agg(ctx: WindowCtx, kind: str, values, valid, frame="range_upto",
+        order_enc=None):
     """SUM/COUNT/AVG/MIN/MAX over the frame.  Exact int64 accumulation for
     sums (decimal-safe); avg returns (sum, count) for the caller to divide.
-    Returns (array, out_valid) in input row order."""
+    Returns (array, out_valid) in input row order.  `frame` is a legacy
+    string or a sliding (mode, lo, hi) tuple (see frame_bounds)."""
+    ab = frame_bounds(ctx, frame, order_enc)
+    if ab is not None:
+        return _agg_sliding(ctx, kind, values, valid, ab)
     if values is None:                    # count(*)
         cnt = _seg_running_sum(ctx, ctx.valid_sorted.astype(jnp.int64))
         return ctx.scatter_back(_frame_gather(ctx, cnt, frame)), None
@@ -255,6 +359,51 @@ def agg(ctx: WindowCtx, kind: str, values, valid, frame: str = "range_upto"):
         out = _frame_gather(ctx, m, frame)
         return ctx.scatter_back(out), ctx.scatter_back(nn > 0)
     raise ValueError(kind)
+
+
+def _agg_sliding(ctx: WindowCtx, kind: str, values, valid, ab):
+    a, b = ab
+    if values is None:                    # count(*): frame row count
+        cnt = _sliding_sum(ctx, ctx.valid_sorted.astype(jnp.int64), a, b)
+        return ctx.scatter_back(cnt), None
+    v_sorted = ctx.take(values)
+    ok = ctx.valid_sorted if valid is None else \
+        (ctx.valid_sorted & ctx.take(valid))
+    nn = _sliding_sum(ctx, ok.astype(jnp.int64), a, b)
+    if kind == "count":
+        return ctx.scatter_back(nn), None
+    if kind in ("sum", "avg", "sum_double"):
+        zero = jnp.zeros((), v_sorted.dtype)
+        s = _sliding_sum(ctx, jnp.where(ok, v_sorted, zero), a, b)
+        if kind == "avg":
+            out = s.astype(jnp.float64) / jnp.maximum(nn, 1)
+            return ctx.scatter_back(out), ctx.scatter_back(nn > 0)
+        return ctx.scatter_back(s), ctx.scatter_back(nn > 0)
+    if kind in ("min", "max"):
+        if jnp.issubdtype(v_sorted.dtype, jnp.floating):
+            ident = jnp.asarray(jnp.inf if kind == "min" else -jnp.inf,
+                                v_sorted.dtype)
+        else:
+            info = jnp.iinfo(v_sorted.dtype)
+            ident = jnp.asarray(info.max if kind == "min" else info.min,
+                                v_sorted.dtype)
+        op = jnp.minimum if kind == "min" else jnp.maximum
+        m = _sliding_idem(jnp.where(ok, v_sorted, ident), a, b, op, ident)
+        return ctx.scatter_back(m), ctx.scatter_back(nn > 0)
+    raise ValueError(kind)
+
+
+def first_last_sliding(ctx: WindowCtx, values, valid, ab, last: bool):
+    """first_value/last_value over a sliding frame: the value at the
+    frame's first/last position (reference semantics: includes NULLs)."""
+    a, b = ab
+    v_sorted = ctx.take(values)
+    at = jnp.clip(b if last else a, 0, ctx.n - 1)
+    out = jnp.take(v_sorted, at, axis=0)
+    okv = ctx.valid_sorted if valid is None else \
+        (ctx.valid_sorted & ctx.take(valid))
+    ok = jnp.take(okv, at) & (b >= a)
+    return ctx.scatter_back(out), ctx.scatter_back(ok)
 
 
 # ----------------------------------------------------- legacy entry points

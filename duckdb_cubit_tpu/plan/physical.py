@@ -1747,9 +1747,12 @@ class WindowFunc:
     name: str                 # output column
     offset: int = 1           # lead/lag distance
     default: Any = None       # lead/lag default (None -> NULL)
-    frame: str | None = None  # rows_upto | range_upto | partition
-    #                           (None -> range_upto with ORDER BY, else
-    #                            whole partition — reference default frame)
+    # frame: legacy string (rows_upto | range_upto | partition) or a
+    # sliding tuple (mode, lo, hi), mode in {"rows","range"}, lo/hi int
+    # offsets with None = UNBOUNDED (ops/window.py frame_bounds).
+    # None -> range_upto with ORDER BY, else whole partition (reference
+    # default frame).
+    frame: object | None = None
 
 
 class Window(PhysicalOperator):
@@ -1808,10 +1811,35 @@ class Window(PhysicalOperator):
         rel = self.children[0].execute(ctx)
         parts, orders = self._key_arrays(rel)
         wctx = W.analyze(parts, orders, rel.mask)
+        # RANGE sliding frames need the single order key in sorted order
+        order_enc = None
+        if len(orders) == 1:
+            order_enc = jnp.take(orders[0], wctx.perm)
         cols = dict(rel.columns)
         for f in self.functions:
             frame = f.frame or ("range_upto" if self.order_by
                                 else "partition")
+            if isinstance(frame, tuple):
+                mode, flo, fhi = frame
+                # normalize degenerate tuples to the legacy fast paths
+                if flo is None and fhi is None:
+                    frame = "partition"
+                elif flo is None and fhi == 0:
+                    frame = "rows_upto" if mode == "rows" else "range_upto"
+                elif mode == "range":
+                    if order_enc is None:
+                        raise ValueError(
+                            "RANGE offset frame requires exactly one "
+                            "ORDER BY key")
+                    oc = rel.columns[self.order_by[0][0]]
+                    if oc.dtype.id not in (TypeId.INT32, TypeId.INT64,
+                                           TypeId.DATE, TypeId.DECIMAL):
+                        raise ValueError(
+                            "RANGE offset frame requires an integer-"
+                            "ordered key")
+                    # DESC needs no offset flip: the ~ encoding is affine
+                    # with slope -1, so "m PRECEDING in value space" is
+                    # m encoded units below the current key either way
             if f.kind == "row_number":
                 cols[f.name] = RelColumn(W.row_number(wctx), INT64, None)
             elif f.kind == "rank":
@@ -1826,13 +1854,22 @@ class Window(PhysicalOperator):
                                          valid=ok)
             elif f.kind in ("first_value", "last_value"):
                 t = rel.evaluate(f.expr)
-                if f.kind == "first_value":
+                ab = W.frame_bounds(wctx, frame, order_enc)
+                if ab is not None:
+                    out, ok = W.first_last_sliding(
+                        wctx, t.array, t.valid, ab,
+                        last=f.kind == "last_value")
+                    cols[f.name] = RelColumn(out, t.dtype, t.dictionary,
+                                             valid=ok)
+                elif f.kind == "first_value":
                     out = W.first_value(wctx, t.array)
+                    cols[f.name] = RelColumn(out, t.dtype, t.dictionary)
                 else:
                     out = W.last_value(wctx, t.array, frame=frame)
-                cols[f.name] = RelColumn(out, t.dtype, t.dictionary)
+                    cols[f.name] = RelColumn(out, t.dtype, t.dictionary)
             elif f.kind == "count" and f.expr is None:
-                out, _ = W.agg(wctx, "count", None, None, frame)
+                out, _ = W.agg(wctx, "count", None, None, frame,
+                               order_enc=order_enc)
                 cols[f.name] = RelColumn(out, INT64, None)
             elif f.kind in ("sum", "total", "avg", "min", "max", "count"):
                 t = rel.evaluate(f.expr)
@@ -1845,7 +1882,8 @@ class Window(PhysicalOperator):
                     arr = arr.astype(jnp.int64)
                 elif kind in ("sum", "avg"):
                     kind = "sum_double" if kind == "sum" else "avg"
-                out, ok = W.agg(wctx, kind, arr, t.valid, frame)
+                out, ok = W.agg(wctx, kind, arr, t.valid, frame,
+                                order_enc=order_enc)
                 if kind == "avg":
                     dt, scale = DOUBLE, 10.0 ** t.dtype.scale \
                         if t.dtype.id == TypeId.DECIMAL else 1.0

@@ -1463,6 +1463,9 @@ class Binder:
                 return E.Lit(node.value)
             if node.type_hint == "decimal":
                 return _dec_lit_norm(node.value)
+            if node.value is None:
+                # bare NULL literal: value 0, valid nowhere
+                return E.ValidIf(E.Lit(0), E.Lit(False))
             return E.Lit(node.value)
         if isinstance(node, A.IntervalLit):
             raise BindError("interval outside date arithmetic")

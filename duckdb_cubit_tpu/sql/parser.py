@@ -508,6 +508,9 @@ class Parser:
         if self.at_kw("false"):
             self.next()
             return A.Literal(False)
+        if self.at_kw("null"):
+            self.next()
+            return A.Literal(None, "null")
         if self.at_kw("date"):
             self.next()
             s = self.expect("string").value
@@ -617,20 +620,39 @@ class Parser:
         if self._at_word("rows", "range"):
             mode = self._word("rows", "range")
             self.expect("kw", "between")
-            self._word("unbounded")
-            self._word("preceding")
+            lo = self._parse_frame_bound(preceding=True)
             self.expect("kw", "and")
-            if self._at_word("current"):
-                self.next()
-                self._word("row")
+            hi = self._parse_frame_bound(preceding=False)
+            # degenerate tuples normalize to the legacy fast-path frames
+            if lo is None and hi == 0:
                 frame = "rows_upto" if mode == "rows" else "range_upto"
-            else:
-                self._word("unbounded")
-                self._word("following")
+            elif lo is None and hi is None:
                 frame = "partition"
+            else:
+                frame = (mode, lo, hi)
         self.expect("op", ")")
         return A.WindowExpr(fname, args, partition_by, order_by, frame,
                             star=star)
+
+    def _parse_frame_bound(self, preceding: bool):
+        """One frame bound -> signed int offset (negative = preceding) or
+        None for UNBOUNDED.  Grammar: UNBOUNDED PRECEDING|FOLLOWING |
+        CURRENT ROW | <int> PRECEDING|FOLLOWING."""
+        if self._at_word("unbounded"):
+            self.next()
+            self._word("preceding" if preceding else "following")
+            return None
+        if self._at_word("current"):
+            self.next()
+            self._word("row")
+            return 0
+        tok = self.peek()
+        if tok.kind != "number":
+            raise ParseError(f"expected frame bound at {tok.pos}")
+        self.next()
+        n = int(tok.value)
+        direction = self._word("preceding", "following")
+        return -n if direction == "preceding" else n
 
     def parse_case(self):
         self.expect("kw", "case")

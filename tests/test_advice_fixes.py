@@ -218,11 +218,16 @@ def test_greatest_least_ignore_nulls():
 
     conn = Connection()
     conn.sql("CREATE TABLE gn (a INTEGER, b INTEGER)")
-    conn.sql("INSERT INTO gn VALUES (1, NULL), (NULL, 5), (NULL, NULL), "
-             "(3, 2)")
+    # base storage is NULL-free; nullif() manufactures NULLs (0 = NULL)
+    conn.sql("INSERT INTO gn VALUES (1, 0), (0, 5), (0, 0), (3, 2)")
     rows = conn.sql(
-        "SELECT greatest(a, b) AS g, least(a, b) AS l FROM gn").strings()
+        "SELECT greatest(nullif(a, 0), nullif(b, 0)) AS g, "
+        "least(nullif(a, 0), nullif(b, 0)) AS l FROM gn").strings()
     assert rows == [["1", "1"], ["5", "5"], ["NULL", "NULL"], ["3", "2"]]
+    # bare NULL literal in expressions (parser + binder)
+    rows = conn.sql("SELECT greatest(a, NULL) AS g FROM gn "
+                    "WHERE a = 3").strings()
+    assert rows == [["3"]]
 
 
 def test_desc_sort_extreme_int64():

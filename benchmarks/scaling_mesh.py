@@ -10,7 +10,7 @@ modeled wire bytes (host-static: n^2 * quota * row_bytes).  CPU-mesh
 numbers measure collective/communication structure, not TPU kernel speed —
 the single-chip TPU numbers live in bench.py / BENCH_r*.json.
 
-Writes ARTIFACTS/scaling_r04.json.
+Writes ARTIFACTS/scaling_r05.json.
 """
 import json
 import os
@@ -83,8 +83,8 @@ def exchange_join_scaling(n_rows=1 << 20):
     sql = ("SELECT sum(pv * bv) AS s, count(*) AS c FROM probe, build "
            "WHERE probe.k = build.k")
     out = {}
-    exchange_bytes = 0
-    for nd in (1, 8):
+    bytes_per_n = {}
+    for nd in (1, 2, 4, 8):
         cfg = EngineConfig()
         cfg.explicit_exchange = nd > 1
         cfg.exchange_min_build_rows = 1
@@ -101,12 +101,19 @@ def exchange_join_scaling(n_rows=1 << 20):
         t = timed(run)
         out[nd] = n_rows / t
         if nd > 1:
-            for op in plan.walk():
-                exchange_bytes += getattr(op, "_exchange_bytes", 0) or 0
+            bytes_per_n[nd] = sum(getattr(op, "_exchange_bytes", 0) or 0
+                                  for op in plan.walk())
+    # VERDICT r4 item 9 acceptance: modeled exchange bytes/row must be
+    # ~independent of device count (quota padding used to inflate it
+    # quadratically at small quotas)
+    bytes_per_row = {nd: b / n_rows for nd, b in bytes_per_n.items()}
     return {"probe_rows": n_rows, "rows_per_s_1dev": out[1],
             "rows_per_s_8dev": out[8],
             "scaling_efficiency_8dev": out[8] / out[1] / 8,
-            "exchange_bytes_modeled": exchange_bytes}
+            "exchange_bytes_modeled": bytes_per_n[8],
+            "exchange_bytes_per_row_by_ndev": bytes_per_row,
+            "bytes_per_row_8dev_over_2dev":
+                bytes_per_row[8] / bytes_per_row[2]}
 
 
 def main():
@@ -120,7 +127,7 @@ def main():
         "exchange_hash_join": exchange_join_scaling(),
     }
     os.makedirs("ARTIFACTS", exist_ok=True)
-    path = "ARTIFACTS/scaling_r04.json"
+    path = "ARTIFACTS/scaling_r05.json"
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))

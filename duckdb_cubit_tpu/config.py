@@ -41,6 +41,10 @@ class EngineConfig:
     use_pallas: bool = True
     # verification / debugging (analog of PRAGMA enable_verification)
     enable_verification: bool = False   # run eager + compiled, compare
+    # leg 4: the independent row-by-row python executor (exec/pyverify.py,
+    # the external-verifier analog) runs when the plan is supported and
+    # every base table has <= this many rows (0 disables)
+    pyverify_max_rows: int = 100_000
     profile: bool = False
     # memory budget per chip for out-of-core decisions (bytes); stages whose
     # estimated working set exceeds it run multi-pass (chunked scan +

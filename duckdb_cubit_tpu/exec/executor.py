@@ -179,7 +179,13 @@ class Executor:
 
         Leg 3 exercises the sort-based CSR join, generic grouping, and plain
         mask filters, so an index-matching or fast-path bug cannot
-        self-confirm."""
+        self-confirm.
+
+        Leg 4 (exec/pyverify.py) re-executes the UNOPTIMIZED plan row by
+        row in pure Python — no jnp kernels, no dictionary code spaces —
+        so a bug in a kernel shared by legs 1-3 cannot self-confirm either
+        (the reference's external statement verifier,
+        src/verification/external_statement_verifier.cpp)."""
         from .result import to_strings
 
         compiled_rel = self._execute_compiled(plan)
@@ -196,7 +202,31 @@ class Executor:
                     "verification failed: optimized and unoptimized results "
                     f"differ (optimized {len(a)} rows, unoptimized {len(c)} "
                     "rows)")
+            self._pyverify(raw_plan, compiled_rel, a)
         return compiled_rel
+
+    def _pyverify(self, raw_plan, compiled_rel, leg1_strings):
+        """Leg 4: independent row-by-row python execution (small inputs)."""
+        from . import pyverify as PV
+
+        limit = getattr(self.config, "pyverify_max_rows", 0)             if self.config is not None else 0
+        if limit <= 0 or not PV.supports(raw_plan):
+            return
+        from ..plan.physical import TableScan
+        for op in raw_plan.walk():
+            if isinstance(op, TableScan):
+                if self.catalog.table(op.table_name).num_rows > limit:
+                    return
+        try:
+            rows = PV.run(raw_plan, self.catalog)
+        except PV.Unsupported:
+            return
+        names = list(compiled_rel.columns.keys())
+        diff = PV.compare_to_strings(rows, names, leg1_strings)
+        if diff is not None:
+            raise RuntimeError(
+                f"verification failed: independent row-by-row executor "
+                f"disagrees: {diff}")
 
     # ------------------------------------------------------- compiled path
     def _execute_compiled(self, plan: PhysicalOperator):

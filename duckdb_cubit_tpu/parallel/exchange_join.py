@@ -26,7 +26,8 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops import join as join_ops
-from .exchange import _pack_buckets, default_quota
+from .exchange import (_pack_buckets, default_quota,
+                       histogram_quota)
 from .mesh import DATA_AXIS
 
 
@@ -62,8 +63,20 @@ def execute(ctx, op, probe_rel, build_rel, pkey, bkey):
     left = op.join_type == "left"
 
     pcap, bcap = probe_rel.capacity, build_rel.capacity
-    bq = getattr(op, "_exq_build", None) or default_quota(bcap // n, n, slack)
-    pq = getattr(op, "_exq_probe", None) or default_quota(pcap // n, n, slack)
+    # quotas from the actual per-destination histograms when the inputs are
+    # concrete (staged execution: stage boundaries ARE materialized); traced
+    # values fall back to the slack*mean guess + requota retries
+    bq = getattr(op, "_exq_build", None)
+    pq = getattr(op, "_exq_probe", None)
+    import jax.core as _jc
+    concrete = not (isinstance(bkey, _jc.Tracer)
+                    or isinstance(pkey, _jc.Tracer))
+    if bq is None:
+        bq = (histogram_quota(mesh, bkey, build_rel.mask, n) if concrete
+              else default_quota(bcap // n, n, slack))
+    if pq is None:
+        pq = (histogram_quota(mesh, pkey, probe_rel.mask, n) if concrete
+              else default_quota(pcap // n, n, slack))
     # record the quotas actually used so the retry handler can double them,
     # and the exchange traffic (host-static model) for the scaling report
     op._exq_build, op._exq_probe = bq, pq

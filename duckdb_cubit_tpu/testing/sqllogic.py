@@ -28,6 +28,12 @@ Supported directives (the subset the reference tests actually use):
     loop <var> <start> <end>         (end exclusive, like the reference)
     ...  ${var} substitution ...
     endloop
+    load <path>                      (attach/open a durable database dir)
+    restart                          (reopen the attached database: WAL
+                                      replay exercise, reference
+                                      sqllogic_test_runner.cpp RestartCommand)
+    skipif <system> / onlyif <system>  (this engine answers as "duckdb")
+    hashed results: "N values hashing to <md5>" compare supported
 
 Types: I = integer, R = float (compared at 3 decimals, like sqllogictest),
 T = text.  NULL renders as the literal `NULL`.
@@ -158,6 +164,23 @@ def _parse_record(block: list[tuple[int, str]]):
         return None
     line0, head = block[0]
     words = head.split()
+    # record-level conditions: skipif/onlyif prefix lines
+    skip_record = False
+    while words and words[0] in ("skipif", "onlyif"):
+        system = words[1].lower() if len(words) > 1 else ""
+        is_us = system in ("duckdb", "duckdb_cubit_tpu")
+        if (words[0] == "skipif" and is_us) or \
+                (words[0] == "onlyif" and not is_us):
+            skip_record = True
+        block = block[1:]
+        if not block:
+            return None
+        line0, head = block[0]
+        words = head.split()
+    if skip_record:
+        return None
+    if words[0] in ("load", "restart"):
+        return (words[0], words[1] if len(words) > 1 else "")
     if words[0] == "require":
         return ("require", words[1] if len(words) > 1 else "")
     if words[0] == "mode":
@@ -291,6 +314,18 @@ def run_script(text: str, conn=None, path: str = "<script>",
             kind, arg = rec
             if kind == "mode":
                 skipping = (arg == "skip")
+            elif kind == "load":
+                from ..storage.persist import open_database
+                if os.path.isdir(arg) and os.path.exists(
+                        os.path.join(arg, "manifest.json")):
+                    conn = open_database(arg)
+                else:
+                    conn = conn.attach(arg)
+            elif kind == "restart":
+                # reopen the attached database: checkpoint+WAL replay path
+                from ..storage.persist import open_database
+                if getattr(conn, "db_path", None):
+                    conn = open_database(conn.db_path)
             elif kind == "require":
                 if arg == "tpch":
                     _ensure_tpch(conn)
@@ -375,6 +410,25 @@ def _run_record(conn, rec: _Record, report: Report, path: str):
                 f"labeled {rec.label!r}")
         report.labels[rec.label] = got
         if not rec.expected and not rec.expected_file:
+            report.executed += 1
+            return
+    # sqllogictest hashed form: "N values hashing to <md5>"
+    if len(rec.expected) == 1 and not rec.expected_file:
+        m = re.match(r"(\d+) values hashing to ([0-9a-f]{32})",
+                     rec.expected[0].strip())
+        if m:
+            import hashlib
+            vals = [v for r in got for v in r]
+            if rec.sort == "rowsort":
+                vals = [v for r in sorted(got) for v in r]
+            elif rec.sort == "valuesort":
+                vals = sorted(vals)
+            digest = hashlib.md5(
+                ("".join(v + "\n" for v in vals)).encode()).hexdigest()
+            if len(vals) != int(m.group(1)) or digest != m.group(2):
+                raise SqlLogicError(
+                    f"{where}: hash mismatch ({len(vals)} values, "
+                    f"{digest})")
             report.executed += 1
             return
     if rec.sort == "rowsort":

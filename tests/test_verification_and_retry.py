@@ -151,3 +151,66 @@ def test_reader_pinned_epoch_survives_merge():
     assert old == [["20"]]
     # a fresh execute re-resolves against the new epoch
     assert to_strings(prepared.execute()) == [["18"]]
+
+
+# -------- leg 4: independent row-by-row python executor (VERDICT r4 #8)
+def test_pyverify_agrees_on_joins_and_aggregates():
+    import numpy as np
+    from duckdb_cubit_tpu.api import Connection
+    from duckdb_cubit_tpu.config import EngineConfig
+
+    cfg = EngineConfig()
+    cfg.enable_verification = True
+    conn = Connection(config=cfg)
+    rng = np.random.default_rng(0)
+    n = 3000
+    conn.register_numpy("f", {"k": rng.integers(0, 50, n),
+                              "v": rng.integers(-100, 100, n)})
+    conn.register_numpy("d", {"k": np.arange(50, dtype=np.int64),
+                              "w": rng.integers(0, 10, 50)})
+    rows = conn.sql(
+        "SELECT d.w AS w, count(*) AS c, sum(f.v) AS s FROM f, d "
+        "WHERE f.k = d.k GROUP BY d.w ORDER BY w").strings()
+    assert len(rows) > 0
+
+
+def test_pyverify_catches_shared_kernel_bug():
+    """A corrupted jnp kernel shared by legs 1-3 self-confirms there;
+    only the independent python leg can catch it."""
+    import numpy as np
+    import pytest
+
+    from duckdb_cubit_tpu.api import Connection
+    from duckdb_cubit_tpu.config import EngineConfig
+    from duckdb_cubit_tpu.ops import expressions as E
+
+    cfg = EngineConfig()
+    cfg.enable_verification = True
+    conn = Connection(config=cfg)
+    conn.register_numpy("m", {"a": np.arange(100, dtype=np.int64),
+                              "b": np.arange(100, dtype=np.int64)})
+
+    orig = E.Arith.eval
+
+    def corrupted(self, ctx):
+        out = orig(self, ctx)
+        if self.op == "+":
+            # off-by-one in every addition: legs 1-3 all run through this
+            return E.Typed(out.array + 1, out.dtype, out.dictionary,
+                           out.valid)
+        return out
+
+    E.Arith.eval = corrupted
+    try:
+        with pytest.raises(RuntimeError, match="row-by-row"):
+            conn.sql("SELECT sum(a + b) AS s FROM m")
+    finally:
+        E.Arith.eval = orig
+    # sanity: legs 1-3 alone (pyverify disabled) DO self-confirm the bug
+    cfg.pyverify_max_rows = 0
+    E.Arith.eval = corrupted
+    try:
+        rows = conn.sql("SELECT sum(a + b) AS s FROM m").strings()
+        assert rows == [[str(2 * sum(range(100)) + 100)]]
+    finally:
+        E.Arith.eval = orig

@@ -42,6 +42,47 @@ class Result:
         return "\n".join(head) + more
 
 
+class QueryTimeoutError(RuntimeError):
+    """Query exceeded config.query_timeout_s (reference interrupt.cpp
+    analog: the dispatch is abandoned, the session stays usable)."""
+
+
+class _QueryDeadline:
+    """SIGALRM-based per-query deadline (main thread only; a no-op
+    elsewhere — worker threads cannot receive SIGALRM)."""
+
+    def __init__(self, seconds: float):
+        self.seconds = seconds
+        self.active = False
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        off_main = (threading.current_thread()
+                    is not threading.main_thread())
+        if self.seconds <= 0 or off_main:
+            return self
+
+        def raise_timeout(signum, frame):
+            raise QueryTimeoutError(
+                f"query exceeded {self.seconds:.1f}s deadline "
+                f"(SET query_timeout_s = 0 to disable)")
+
+        self._old = signal.signal(signal.SIGALRM, raise_timeout)
+        signal.setitimer(signal.ITIMER_REAL, self.seconds)
+        self.active = True
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        if self.active:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
 class Connection:
     def __init__(self, catalog: Catalog | None = None, config=None,
                  mesh=None):
@@ -116,8 +157,14 @@ class Connection:
 
         stmt = parse_statement(query)
         if isinstance(stmt, A.SelectStmt):
-            plan = self.binder.bind(stmt)
-            rel = self.executor.execute(plan, profile=profile)
+            timeout = getattr(self.config, "query_timeout_s", 0.0)
+            with _QueryDeadline(timeout):
+                plan = self.binder.bind(stmt)
+                rel = self.executor.execute(plan, profile=profile)
+                # materialization is where a hung dispatch actually blocks:
+                # pull the result inside the deadline when one is set
+                if timeout > 0:
+                    rel.count()
             return Result(rel)
         from .sql.statements import execute_statement
 

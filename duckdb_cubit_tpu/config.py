@@ -53,6 +53,12 @@ class EngineConfig:
     # force multi-pass execution regardless of size (reference
     # client_config.hpp:79 force_external; used by out-of-core tests)
     force_external: bool = False
+    # per-query wall-clock deadline in seconds (0 = off): a query that
+    # exceeds it is abandoned with QueryTimeoutError — the engine-level
+    # analog of the reference's interrupt protocol
+    # (src/parallel/interrupt.cpp); guards hung device dispatches through
+    # the remote tunnel
+    query_timeout_s: float = 0.0
 
     def set(self, name: str, value):
         if not hasattr(self, name):

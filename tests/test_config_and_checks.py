@@ -190,3 +190,25 @@ def test_pack_range_check_fires_on_out_of_range_second_key():
                       ["a", "b"], ["a", "b"], "semi", single_match=False)
     with pytest.raises(RuntimeError, match="join_key_pack_range"):
         _exec(cat, plan)
+
+
+def test_query_timeout_guard():
+    # VERDICT r4 item 10: a runaway query times out with a typed error
+    # and the session stays usable (reference interrupt.cpp analog)
+    import numpy as np
+    import pytest
+
+    from duckdb_cubit_tpu.api import Connection, QueryTimeoutError
+    from duckdb_cubit_tpu.config import EngineConfig
+
+    cfg = EngineConfig()
+    cfg.query_timeout_s = 1.5
+    conn = Connection(config=cfg)
+    n = 40_000
+    conn.register_numpy("big", {"k": np.arange(n, dtype=np.int64)})
+    with pytest.raises(QueryTimeoutError):
+        # cross product of 40K x 40K rows: 1.6B-row expansion
+        conn.sql("SELECT count(*) AS c FROM big a, big b "
+                 "WHERE a.k + b.k >= 0")
+    cfg.query_timeout_s = 0.0
+    assert conn.sql("SELECT count(*) AS c FROM big").strings() == [["40000"]]

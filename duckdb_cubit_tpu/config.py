@@ -41,6 +41,10 @@ class EngineConfig:
     use_pallas: bool = True
     # verification / debugging (analog of PRAGMA enable_verification)
     enable_verification: bool = False   # run eager + compiled, compare
+    # which verification legs run: "all" (compiled + eager + unoptimized +
+    # python) or "light" (skips the compiled leg — used by the sqllogic
+    # harness where per-query jit compiles would dominate corpus runtime)
+    verification_legs: str = "all"
     # leg 4: the independent row-by-row python executor (exec/pyverify.py,
     # the external-verifier analog) runs when the plan is supported and
     # every base table has <= this many rows (0 disables)

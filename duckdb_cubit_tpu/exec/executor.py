@@ -188,13 +188,22 @@ class Executor:
         src/verification/external_statement_verifier.cpp)."""
         from .result import to_strings
 
-        compiled_rel = self._execute_compiled(plan)
-        eager_rel = self._execute_eager(plan)
-        a, b = to_strings(compiled_rel), to_strings(eager_rel)
-        if sorted(map(tuple, a)) != sorted(map(tuple, b)):
-            raise RuntimeError(
-                "verification failed: compiled and eager results differ "
-                f"(compiled {len(a)} rows, eager {len(b)} rows)")
+        light = (self.config is not None
+                 and getattr(self.config, "verification_legs", "all")
+                 == "light")
+        if light:
+            # corpus mode: skip the compiled leg (per-query jit compiles
+            # would dominate runtime); eager is the primary result
+            compiled_rel = self._execute_eager(plan)
+            a = to_strings(compiled_rel)
+        else:
+            compiled_rel = self._execute_compiled(plan)
+            eager_rel = self._execute_eager(plan)
+            a, b = to_strings(compiled_rel), to_strings(eager_rel)
+            if sorted(map(tuple, a)) != sorted(map(tuple, b)):
+                raise RuntimeError(
+                    "verification failed: compiled and eager results differ "
+                    f"(compiled {len(a)} rows, eager {len(b)} rows)")
         if raw_plan is not None:
             c = to_strings(self._execute_eager(raw_plan, verify_mode=True))
             if sorted(map(tuple, a)) != sorted(map(tuple, c)):
@@ -268,6 +277,10 @@ class Executor:
                 for cname in op.needed_columns(table):
                     spec.append((op, "col", cname))
                     arrays.append(table.columns[cname].data)
+                    if getattr(table.columns[cname], "nulls", None) \
+                            is not None:
+                        spec.append((op, "colnull", cname))
+                        arrays.append(table.columns[cname].nulls)
                 if getattr(op, "_words", None) is not None:
                     spec.append((op, "words", None))
                     arrays.append(op._words)
@@ -323,6 +336,8 @@ class Executor:
                     slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
                     if kind == "col":
                         slot["cols"][name] = arr
+                    elif kind == "colnull":
+                        slot.setdefault("colnulls", {})[name] = arr
                     else:
                         slot[kind] = arr
                 rel = plan_ref.execute(ctx)
@@ -773,7 +788,8 @@ class Executor:
             scan, lo, hi, row_limit = chunk
             sliced = []
             for (op, kind, name), arr in zip(spec, arrays):
-                if op is scan and kind in ("col", "mask8", "deleted"):
+                if op is scan and kind in ("col", "colnull", "mask8",
+                                           "deleted"):
                     arr = arr[lo:hi]
                 elif op is scan and kind == "words":
                     arr = arr[lo // 32:hi // 32]
@@ -820,6 +836,8 @@ class Executor:
                     slot = ctx.scan_inputs.setdefault(id(op), {"cols": {}})
                     if kind == "col":
                         slot["cols"][name] = arr
+                    elif kind == "colnull":
+                        slot.setdefault("colnulls", {})[name] = arr
                     else:
                         slot[kind] = arr
                 for c, (names, metas, cap) in zip(bound_ops, bmeta):

@@ -68,12 +68,20 @@ def _tab(catalog, name):
     if deleted is not None:
         dm = np.asarray(deleted)[: t.num_rows]
         alive = [not bool(d) for d in dm]
+    nulls = {}
+    for cname, c in t.columns.items():
+        nh = getattr(c, "nulls_host", None)
+        if nh is not None:
+            nulls[cname] = nh
     rows = []
     names = list(cols.keys())
     for i in range(t.num_rows):
         if alive[i]:
-            rows.append({n: (cols[n][0][i], cols[n][1], cols[n][2])
-                         for n in names})
+            rows.append({
+                n: ((None, cols[n][1], cols[n][2])
+                    if n in nulls and bool(nulls[n][i])
+                    else (cols[n][0][i], cols[n][1], cols[n][2]))
+                for n in names})
     return rows
 
 

@@ -384,7 +384,7 @@ class InList(Expr):
                 _code_truth_table(ct, lambda d: np.isin(d, list(targets))),
                 BOOL, None, ct.valid)
         arr = ct.array
-        out = jnp.zeros(arr.shape, jnp.bool_)
+        out = jnp.zeros(jnp.shape(arr), jnp.bool_)
         for v in self.values:
             out = out | (arr == v)
         return Typed(out, BOOL, None, ct.valid)

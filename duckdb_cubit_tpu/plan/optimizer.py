@@ -65,6 +65,12 @@ def _match_conjunct(conj: E.Expr, table):
             left, right, op = right, left, flip[op]
         if not (isinstance(left, E.Col) and isinstance(right, E.Lit)):
             return None
+        c = table.columns.get(left.name)
+        if c is not None and getattr(c, "nulls", None) is not None:
+            # NULL-bearing column: bitmap bins cover the placeholder
+            # values, so index answers would include NULL rows —
+            # evaluate as a residual expression (validity-aware)
+            return None
         col_name = left.name
         if col_name not in table.indexes:
             return None
@@ -245,6 +251,12 @@ def propagate_statistics(scan: P.TableScan, table) -> None:
                     table.columns[left.name].dictionary)
                 if bounds is not None and v is not None:
                     verdict = _classify_vs_bounds(op, v, *bounds)
+                    if verdict == "always" and getattr(
+                            table.columns[left.name], "nulls",
+                            None) is not None:
+                        # provably true for every NON-NULL value, but NULL
+                        # rows still compare UNKNOWN: keep the conjunct
+                        verdict = "maybe"
         if verdict == "never":
             scan.always_false = True
             scan.filters = []

@@ -351,10 +351,21 @@ class TableScan(PhysicalOperator):
             base_mask = jnp.arange(table.capacity) < table.num_rows
         if deleted is not None:
             base_mask = base_mask & ~deleted
+        col_nulls = inputs.get("colnulls", {}) if inputs is not None else {
+            n: table.columns[n].nulls for n in cols
+            if getattr(table.columns[n], "nulls", None) is not None}
+        def _valid_of(n):
+            nu = col_nulls.get(n)
+            if nu is None:
+                return None
+            if row_limit is not None and nu.shape[0] != capacity:
+                nu = nu[:capacity]
+            return ~nu
         rel = Relation(
             {n: RelColumn(cols[n], table.columns[n].dtype,
                           table.columns[n].dictionary,
                           getattr(table.columns[n], "domain", None),
+                          valid=_valid_of(n),
                           monotone=(row_limit is None and getattr(
                               table.columns[n], "is_sorted", False)))
              for n in cols},
@@ -411,6 +422,21 @@ def _expr_columns(expr: Expr) -> set[str]:
     return out
 
 
+class SingleRow(PhysicalOperator):
+    """One-row, zero-column source: SELECT <exprs> without FROM (the
+    reference's PhysicalDummyScan)."""
+
+    name = "single_row"
+
+    def _execute(self, ctx):
+        n = 8192
+        mask = jnp.zeros(n, jnp.bool_).at[0].set(True)
+        return Relation({}, mask, n)
+
+    def _self_signature(self):
+        return "single_row"
+
+
 class Filter(PhysicalOperator):
     """Streaming filter (analog of PhysicalFilter::ExecuteInternal)."""
 
@@ -453,13 +479,22 @@ class Project(PhysicalOperator):
             else:
                 t = rel.evaluate(e)
                 arr = t.array
+                valid = t.valid
+                dictionary = t.dictionary
                 # constant-folded expressions (literal math, literal concat)
-                # broadcast to the row space (reference CONSTANT vectors)
-                if jnp.ndim(arr) == 0:
+                # broadcast to the row space (reference CONSTANT vectors);
+                # scalar validity (e.g. a bare NULL literal) broadcasts too
+                if isinstance(arr, str):
+                    # string literal projection: a 1-entry dictionary
+                    dictionary = np.array([arr.encode()], dtype="S")
+                    arr = jnp.zeros(rel.capacity, jnp.int32)
+                elif jnp.ndim(arr) == 0:
                     arr = jnp.full(rel.capacity, arr)
-                cols[name] = RelColumn(arr, t.dtype, t.dictionary,
+                if valid is not None and jnp.ndim(valid) == 0:
+                    valid = jnp.full(rel.capacity, valid)
+                cols[name] = RelColumn(arr, t.dtype, dictionary,
                                        domain=getattr(t, "domain", None),
-                                       valid=t.valid)
+                                       valid=valid)
         return Relation(cols, rel.mask, rel.capacity)
 
     def _self_signature(self):

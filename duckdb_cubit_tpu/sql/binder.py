@@ -316,6 +316,32 @@ def _dec_lit_norm(value) -> E.Lit:
     return E.dec_lit(round(float(s), scale), scale)
 
 
+def _fold_const_ast(v):
+    """Host-fold a constant AST expression (literals + - * / and unary
+    minus) to a python value; None when not constant."""
+    if isinstance(v, A.UnaryOp) and v.op == "-":
+        inner = _fold_const_ast(v.child)
+        return None if inner is None else -inner
+    if isinstance(v, A.Literal):
+        if isinstance(v.value, (int, float, str)) \
+                and not isinstance(v.value, bool):
+            return v.value
+        return None
+    if isinstance(v, A.BinaryOp) and v.op in "+-*/":
+        l, r = _fold_const_ast(v.left), _fold_const_ast(v.right)
+        if l is None or r is None or isinstance(l, str) \
+                or isinstance(r, str):
+            return None
+        if v.op == "+":
+            return l + r
+        if v.op == "-":
+            return l - r
+        if v.op == "*":
+            return l * r
+        return l / r if r else None
+    return None
+
+
 def _make_cmp(op: str, l: E.Expr, r: E.Expr) -> E.Expr:
     return {"==": lambda: l == r, "!=": lambda: l != r,
             "<": lambda: l < r, "<=": lambda: l <= r,
@@ -355,7 +381,7 @@ class Binder:
     def _bind_select(self, stmt: A.SelectStmt,
                      outer: Scope | None) -> Bound:
         if not stmt.tables:
-            raise BindError("SELECT without FROM is not supported")
+            return self._bind_fromless(stmt, outer)
         refs = _collect_colrefs(stmt)
         sources = self._bind_sources(stmt)
         scope = Scope(sources, outer)
@@ -368,6 +394,16 @@ class Binder:
         for conj in sub_preds:
             plan = self._apply_subquery_pred(plan, conj, scope)
         return self._bind_output(stmt, plan, scope, cur_size)
+
+    def _bind_fromless(self, stmt: A.SelectStmt, outer) -> Bound:
+        """SELECT <exprs> with no FROM: a one-row dummy source (the
+        reference's PhysicalDummyScan / ExpressionExecutor constant path).
+        """
+        scope = Scope([], outer)
+        plan: P.PhysicalOperator = P.SingleRow()
+        if stmt.where is not None:
+            plan = P.Filter(plan, self.to_expr(stmt.where, scope))
+        return self._bind_output(stmt, plan, scope, 1)
 
     # ------------------------------------------------------------- FROM
     def _bind_sources(self, stmt) -> list[Source]:
@@ -1505,12 +1541,10 @@ class Binder:
             e = rec(node.expr)
             vals = []
             for v in node.values:
-                neg = False
-                while isinstance(v, A.UnaryOp) and v.op == "-":
-                    neg, v = not neg, v.child
-                if not isinstance(v, A.Literal):
-                    raise BindError("IN list must contain literals")
-                vals.append(-v.value if neg else v.value)
+                folded = _fold_const_ast(v)
+                if folded is None:
+                    raise BindError("IN list must contain constants")
+                vals.append(folded)
             r = e.isin(vals)
             return ~r if node.negated else r
         if isinstance(node, A.LikeExpr):

@@ -68,6 +68,8 @@ def _literal_value(node, dtype: DataType):
     if not isinstance(node, A.Literal):
         raise StatementError(f"INSERT values must be literals, got {node!r}")
     v = node.value
+    if v is None:
+        return None
     if dtype.id == TypeId.DECIMAL:
         out = decimal_to_int(v, dtype.scale)
         return -out if neg else out
@@ -163,15 +165,23 @@ def execute_statement(conn, stmt):
         if set(cols) != set(table.columns.keys()):
             raise StatementError("INSERT must provide every column")
         rows = {}
+        nulls = {}
         for j, cname in enumerate(cols):
             dtype = table.columns[cname].dtype
             pos = cols.index(cname)
             vals = [_literal_value(r[pos], dtype) for r in stmt.rows]
+            nmask = np.array([v is None for v in vals])
+            if nmask.any():
+                # placeholder for NULL slots (masked everywhere)
+                filler = (b"" if dtype.id == TypeId.VARCHAR
+                          else 0 if dtype.id != TypeId.CHAR1 else 0)
+                vals = [filler if v is None else v for v in vals]
+                nulls[cname] = nmask
             if dtype.id == TypeId.VARCHAR:
                 rows[cname] = np.array(vals, dtype="S")
             else:
                 rows[cname] = np.array(vals, dtype=dtype.np_dtype)
-        first = dml.append_rows(table, rows)
+        first = dml.append_rows(table, rows, nulls=nulls or None)
         return f"INSERT {len(stmt.rows)} (first rowid {first})", []
 
     if isinstance(stmt, A.Delete):
@@ -246,13 +256,28 @@ def execute_statement(conn, stmt):
         return "EXPLAIN", [[line] for line in lines]
 
     if isinstance(stmt, A.PragmaStmt):
-        if stmt.name.lower() == "tpch":
+        name = stmt.name.lower()
+        if name == "tpch":
             from ..tpch import queries
 
             rel = queries.run(conn.executor, int(stmt.args[0]))
             from ..exec import result as R
 
             return "PRAGMA tpch", R.to_strings(rel)
+        if name in ("enable_verification", "disable_verification"):
+            # reference PRAGMA enable_verification (client_verify.cpp:24):
+            # every query also runs the eager, unoptimized, and row-by-row
+            # python legs and must agree (exec/executor._execute_verified)
+            conn.config.enable_verification = name == "enable_verification"
+            return f"PRAGMA {name}", []
+        if name in ("verify_parallelism", "disable_verify_parallelism",
+                    "enable_profiling", "disable_profiling",
+                    "explain_output", "verify_external",
+                    "disable_verify_external"):
+            # accepted no-ops: the harness-level knobs the reference corpus
+            # toggles that have no analog here (thread-count stress /
+            # profiler output routing)
+            return f"PRAGMA {name}", []
         raise StatementError(f"unknown pragma {stmt.name}")
 
     raise StatementError(f"unhandled statement {type(stmt).__name__}")

@@ -42,14 +42,17 @@ def _active_mask(table: Table):
 Table.row_mask = _active_mask  # type: ignore[assignment]
 
 
-def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
+def append_rows(table: Table, rows: dict[str, np.ndarray],
+                nulls: dict[str, np.ndarray] | None = None) -> int:
     """Append host rows; returns the first new row id.
 
     Grows capacity when needed (copy + pad), extends every CUBIT index via
     insert deltas, and extends dictionaries for VARCHAR values (new strings
     are appended to the dictionary; code order stays sorted only for the
     prefix, so ordered string predicates must re-encode — round-1 limitation
-    flagged with an exception if violated).
+    flagged with an exception if violated).  `nulls[col]` marks NULL slots
+    of the appended rows (stored as a per-column validity epoch, the
+    segment-level ValidityMask analog).
     """
     n_new = len(next(iter(rows.values())))
     first = table.num_rows
@@ -95,6 +98,21 @@ def append_rows(table: Table, rows: dict[str, np.ndarray]) -> int:
             data = jnp.concatenate([data, pad])
         data = data.at[first:new_count].set(dev_new)
         col.data = data
+        # NULL epochs: extend/refresh the per-column null mask
+        new_nulls = None if nulls is None else nulls.get(name)
+        if new_nulls is not None and new_nulls.any() or \
+                getattr(col, "nulls", None) is not None:
+            old_h = (col.nulls_host if col.nulls_host is not None
+                     else np.zeros(first, bool))
+            nh = np.zeros(new_count, bool)
+            nh[:first] = old_h[:first]
+            if new_nulls is not None:
+                nh[first:new_count] = new_nulls
+            col.nulls_host = nh
+            dev = np.zeros(new_capacity, bool)
+            dev[:new_count] = nh
+            col.nulls = jnp.asarray(dev)
+        col.is_sorted = False
         # index deltas (skipped for remapped dictionary columns — their
         # bitmap bins live in the old code space and are rebuilt below)
         idx = table.indexes.get(name)
@@ -162,13 +180,15 @@ def _refresh_stats(table: Table, columns=None):
             continue
         host = (col.host[:table.num_rows] if col.host is not None
                 else np.asarray(col.data[:table.num_rows]))
-        if table.num_rows == 0:
+        if getattr(col, "nulls_host", None) is not None:
+            host = host[~col.nulls_host[:table.num_rows]]
+        if table.num_rows == 0 or len(host) == 0:
             col.zone_map = None
             col.domain = None
             continue
         if col.dtype.id in (TypeId.INT32, TypeId.INT64, TypeId.DECIMAL,
                             TypeId.DATE, TypeId.VARCHAR, TypeId.CHAR1):
-            col.zone_map = _build_zone_map(host, table.num_rows)
+            col.zone_map = _build_zone_map(host, len(host))
         if col.dtype.id == TypeId.CHAR1:
             col.domain = np.unique(host)
         elif col.domain is not None or col.zone_map is not None:

@@ -62,9 +62,14 @@ def checkpoint(conn, path: str) -> None:
             blobs[key] = arr[live] if live is not None else arr
             if c.dictionary is not None:
                 blobs[key + ".dict"] = np.asarray(c.dictionary)
+            has_nulls = getattr(c, "nulls_host", None) is not None
+            if has_nulls:
+                nh = np.asarray(c.nulls_host[:t.num_rows])
+                blobs[key + ".nulls"] = nh[live] if live is not None else nh
             cols[cname] = {"type": c.dtype.id.value,
                            "scale": c.dtype.scale,
-                           "dict": c.dictionary is not None}
+                           "dict": c.dictionary is not None,
+                           "nulls": has_nulls}
         manifest["tables"][tname] = {
             "num_rows": num_rows,
             "columns": cols,
@@ -125,6 +130,15 @@ def open_database(path: str):
                     data[cname] = arr
                     schema[cname] = dt
             t = from_numpy(tname, data, schema or None)
+            for cname, cm in tm["columns"].items():
+                if cm.get("nulls"):
+                    nh = blobs[f"{tname}.{cname}.nulls"].astype(bool)
+                    col = t.columns[cname]
+                    col.nulls_host = nh
+                    dev = np.zeros(t.capacity, bool)
+                    dev[: len(nh)] = nh
+                    import jax.numpy as _jnp
+                    col.nulls = _jnp.asarray(dev)
             t.unique_keys = [frozenset(us) for us in tm["unique_keys"]]
             for cname in tm["pk_indexes"]:
                 pk = DirectPKIndex.build(cname,

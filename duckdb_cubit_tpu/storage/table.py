@@ -56,6 +56,12 @@ class Column:
     # dispatch+sync pays a full ~25ms round trip), so the engine never does
     # D2H outside result materialization.
     host: np.ndarray | None = None
+    # per-row NULL mask (None = no NULLs in this column).  Base-table NULL
+    # storage: the scan surfaces ~nulls as the RelColumn validity mask and
+    # the whole engine's per-value validity machinery takes it from there
+    # (reference ValidityMask at the segment level, validity_mask.hpp)
+    nulls: jnp.ndarray | None = None
+    nulls_host: np.ndarray | None = None
     # non-decreasing over the stored row order (ingest-time host check on
     # integer key columns).  Storage layout sortedness is what lets the
     # Pallas monotone probe kernel (ops/pallas_probe.py) run without a

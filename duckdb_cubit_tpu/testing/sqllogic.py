@@ -302,6 +302,11 @@ def run_script(text: str, conn=None, path: str = "<script>",
         from ..api import Connection
 
         conn = Connection()
+    # corpus files toggle PRAGMA enable_verification pervasively; run the
+    # light leg set (eager + unoptimized + row-by-row python) so a file of
+    # dozens of tiny queries doesn't pay a jit compile per query
+    if getattr(conn, "config", None) is not None:
+        conn.config.verification_legs = "light"
     features = features if features is not None else _default_features()
     report = Report(path=path)
     skipping = False
@@ -398,10 +403,20 @@ def _run_record(conn, rec: _Record, report: Report, path: str):
              for j, c in enumerate(r.split(sep))]
             for r in raw if r.strip() != ""]
     else:
+        raw_rows = [_split_expected_row(r, len(rec.types))
+                    for r in rec.expected]
+        ncols = max(1, len(rec.types))
+        if (ncols > 1 and raw_rows and all(len(r) == 1 for r in raw_rows)
+                and len(raw_rows) % ncols == 0
+                and not any("\t" in r for r in rec.expected)):
+            # canonical sqllogictest layout: ONE VALUE PER LINE in
+            # row-major order (the reference's own runner accepts both)
+            flat = [r[0] for r in raw_rows]
+            raw_rows = [flat[i:i + ncols]
+                        for i in range(0, len(flat), ncols)]
         expected_rows = [
             [_norm_expected_cell(c, rec.types[j] if j < len(rec.types) else "T")
-             for j, c in enumerate(_split_expected_row(r, len(rec.types)))]
-            for r in rec.expected]
+             for j, c in enumerate(r)] for r in raw_rows]
     if rec.label:
         prev = report.labels.get(rec.label)
         if prev is not None and prev != got:

@@ -105,3 +105,52 @@ def test_statement_errors(conn):
         conn.sql("INSERT INTO items VALUES (1)")  # arity
     with pytest.raises(Exception):
         conn.sql("FROBNICATE all the things")
+
+
+# ----------------------- base-table NULL storage (round 5) -------------
+def test_insert_null_values():
+    import numpy as np
+    from duckdb_cubit_tpu.api import Connection
+
+    conn = Connection()
+    conn.sql("CREATE TABLE ns (i INTEGER, s VARCHAR, d DOUBLE)")
+    conn.sql("INSERT INTO ns VALUES (1, 'a', 1.5), (NULL, NULL, NULL), "
+             "(3, 'c', NULL)")
+    rows = conn.sql("SELECT i, s, d FROM ns ORDER BY i").strings()
+    assert rows == [["1", "a", "1.5"], ["3", "c", "NULL"],
+                    ["NULL", "NULL", "NULL"]]
+    # aggregates skip NULLs; count(*) does not
+    rows = conn.sql("SELECT count(*) AS a, count(i) AS b, sum(i) AS s, "
+                    "min(s) AS m FROM ns").strings()
+    assert rows == [["3", "2", "4", "a"]]
+    # IS NULL / IS NOT NULL filters
+    assert conn.sql("SELECT count(*) AS c FROM ns WHERE i IS NULL"
+                    ).strings() == [["1"]]
+    assert conn.sql("SELECT count(*) AS c FROM ns WHERE s IS NOT NULL"
+                    ).strings() == [["2"]]
+    # comparisons with NULL rows are UNKNOWN -> excluded
+    assert conn.sql("SELECT count(*) AS c FROM ns WHERE i < 10"
+                    ).strings() == [["2"]]
+
+
+def test_null_survives_checkpoint(tmp_path):
+    from duckdb_cubit_tpu.api import Connection
+    from duckdb_cubit_tpu.storage.persist import open_database
+
+    db = str(tmp_path / "db")
+    conn = Connection().attach(db)
+    conn.sql("CREATE TABLE t (k INTEGER, v INTEGER)")
+    conn.sql("INSERT INTO t VALUES (1, NULL), (2, 20)")
+    conn.checkpoint()
+    conn2 = open_database(db)
+    assert conn2.sql("SELECT count(v) AS c, sum(v) AS s FROM t").strings() \
+        == [["1", "20"]]
+
+
+def test_select_without_from():
+    from duckdb_cubit_tpu.api import Connection
+
+    conn = Connection()
+    assert conn.sql("SELECT 1+2 AS a, 'x' AS s").strings() == [["3", "x"]]
+    assert conn.sql("SELECT NULL AS n").strings() == [["NULL"]]
+    assert conn.sql("SELECT 1 AS a WHERE 1 > 2").strings() == []

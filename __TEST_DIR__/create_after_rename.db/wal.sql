@@ -1,0 +1,2 @@
+create table tbl (i integer);;
+insert into tbl VALUES (5);;

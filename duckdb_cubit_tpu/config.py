@@ -57,6 +57,9 @@ class EngineConfig:
     # force multi-pass execution regardless of size (reference
     # client_config.hpp:79 force_external; used by out-of-core tests)
     force_external: bool = False
+    # NULL placement in ORDER BY (reference SET default_null_order):
+    # "nulls_last" (engine default) or "nulls_first"
+    default_null_order: str = "nulls_last"
     # per-query wall-clock deadline in seconds (0 = off): a query that
     # exceeds it is abandoned with QueryTimeoutError — the engine-level
     # analog of the reference's interrupt protocol
@@ -82,7 +85,8 @@ class EngineConfig:
         """Fields that change compiled-plan decisions; part of every plan
         cache key so a SET takes effect on the next execution (the analog of
         the reference re-planning prepared statements on setting changes)."""
-        return (self.index_scan_percentage, self.index_scan_max_count,
+        return (self.default_null_order,
+                self.index_scan_percentage, self.index_scan_max_count,
                 self.small_group_limit, self.dense_domain_limit,
                 self.join_expansion_factor, self.memory_limit,
                 self.use_pallas, self.force_external,

@@ -478,6 +478,34 @@ class CastDouble(Expr):
 
 
 @dataclasses.dataclass(eq=False)
+class CastInt(Expr):
+    """CAST(x AS INTEGER/BIGINT): truncation toward zero (SQL semantics)
+    for doubles and decimals; integers pass through."""
+    child: Expr
+
+    def eval(self, ctx):
+        t = self.child.eval(ctx)
+        if t.dtype.id == TypeId.DOUBLE:
+            a = t.array
+            if _is_host_scalar(a):
+                return Typed(int(a), INT64, None, t.valid)
+            return Typed(jnp.trunc(a).astype(jnp.int64), INT64, None,
+                         t.valid)
+        if t.dtype.id == TypeId.DECIMAL:
+            p = 10 ** t.dtype.scale
+            a = t.array
+            if _is_host_scalar(a):
+                q = int(a) // p if a >= 0 else -((-int(a)) // p)
+                return Typed(q, INT64, None, t.valid)
+            a = a.astype(jnp.int64)
+            q = jnp.where(a >= 0, a // p, -((-a) // p))
+            return Typed(q, INT64, None, t.valid)
+        return Typed(t.array, t.dtype if t.dtype.id in
+                     (TypeId.INT32, TypeId.INT64, TypeId.DATE)
+                     else INT64, None, t.valid)
+
+
+@dataclasses.dataclass(eq=False)
 class Case(Expr):
     """CASE WHEN cond THEN a ELSE b END (single branch, vectorized where)."""
     cond: Expr

@@ -422,6 +422,31 @@ def _expr_columns(expr: Expr) -> set[str]:
     return out
 
 
+class RangeSource(PhysicalOperator):
+    """range(start, stop, step) table function (reference
+    src/function/table/range.cpp): a generated integer column."""
+
+    name = "range_source"
+
+    def __init__(self, start: int, stop: int, step: int, colname: str):
+        super().__init__()
+        assert step != 0
+        self.start, self.stop, self.step = start, stop, step
+        self.colname = colname
+        self.n = max(0, -(-(stop - start) // step))
+
+    def _execute(self, ctx):
+        cap = pad_count(max(1, self.n))
+        arr = (jnp.arange(cap, dtype=jnp.int64) * self.step + self.start)
+        mask = jnp.arange(cap) < self.n
+        return Relation(
+            {self.colname: RelColumn(arr, INT64, None)}, mask, cap)
+
+    def _self_signature(self):
+        return (f"range[{self.start}:{self.stop}:{self.step}:"
+                f"{self.colname}]")
+
+
 class SingleRow(PhysicalOperator):
     """One-row, zero-column source: SELECT <exprs> without FROM (the
     reference's PhysicalDummyScan)."""
@@ -1691,8 +1716,15 @@ class OrderBy(PhysicalOperator):
                 a = c.array.astype(jnp.int64)
             key = jnp.where(desc, ~a, a)
             cls = jnp.where(rel.mask, jnp.int8(0), jnp.int8(2))
-            if c.valid is not None:   # NULLS LAST, before masked rows
-                cls = jnp.where(rel.mask & ~c.valid, jnp.int8(1), cls)
+            if c.valid is not None:
+                # default NULLS LAST (before masked rows); SET
+                # default_null_order='nulls_first' flips it (reference
+                # config default_null_order)
+                first = (ctx.config is not None and getattr(
+                    ctx.config, "default_null_order", "nulls_last")
+                    == "nulls_first")
+                nullcls = jnp.int8(-1 if first else 1)
+                cls = jnp.where(rel.mask & ~c.valid, nullcls, cls)
             operands.append(cls)
             operands.append(key)
         rows = jnp.arange(n, dtype=jnp.int32)

@@ -126,6 +126,12 @@ class CastExpr:
 
 
 @dataclasses.dataclass
+class CreateTableAs:
+    name: str
+    select: Any
+
+
+@dataclasses.dataclass
 class SelectItem:
     expr: Any
     alias: str | None
@@ -137,6 +143,7 @@ class TableRef:
     alias: str | None
     subquery: "SelectStmt | None" = None
     column_aliases: list | None = None
+    func_args: list | None = None       # table function: range(...)
 
 
 @dataclasses.dataclass

@@ -405,12 +405,46 @@ class Binder:
             plan = P.Filter(plan, self.to_expr(stmt.where, scope))
         return self._bind_output(stmt, plan, scope, 1)
 
+    def _bind_table_function(self, ref, jt, cond) -> Source:
+        """range(stop) / range(start, stop[, step]) (reference
+        src/function/table/range.cpp)."""
+        if ref.name.lower() not in ("range", "generate_series"):
+            raise BindError(f"unknown table function {ref.name}")
+        vals = []
+        for a in ref.func_args:
+            v = _fold_const_ast(a)
+            if not isinstance(v, int):
+                raise BindError("range() arguments must be constant "
+                                "integers")
+            vals.append(v)
+        if len(vals) == 1:
+            start, stop, step = 0, vals[0], 1
+        elif len(vals) == 2:
+            start, stop, step = vals[0], vals[1], 1
+        elif len(vals) == 3:
+            start, stop, step = vals
+        else:
+            raise BindError("range() takes 1-3 arguments")
+        if ref.name.lower() == "generate_series" and len(vals) >= 2:
+            stop = stop + (1 if step > 0 else -1)   # inclusive stop
+        coln = (ref.column_aliases[0] if ref.column_aliases
+                else "range")
+        plan = P.RangeSource(start, stop, step, coln)
+        alias = ref.alias or self._gen("rf")
+        n = plan.n
+        return Source(alias, None,
+                      Bound(plan, [coln], [frozenset({coln})], n),
+                      [coln], n, [frozenset({coln})], jt, cond)
+
     # ------------------------------------------------------------- FROM
     def _bind_sources(self, stmt) -> list[Source]:
         sources = []
         for ref in stmt.tables:
             jt = getattr(ref, "join_type", "inner")
             cond = getattr(ref, "join_cond", None)
+            if getattr(ref, "func_args", None) is not None:
+                sources.append(self._bind_table_function(ref, jt, cond))
+                continue
             if ref.subquery is not None:
                 b = self._bind_select(ref.subquery, None)
                 alias = ref.alias or self._gen("dt")
@@ -1458,6 +1492,7 @@ class Binder:
     def _order_limit(self, stmt, plan, out_names):
         if stmt.order_by:
             keys = []
+            hidden: dict[str, E.Expr] = {}
             for oi in stmt.order_by:
                 if isinstance(oi.expr, A.ColumnRef) \
                         and oi.expr.name in out_names:
@@ -1467,10 +1502,25 @@ class Binder:
                     keys.append((list(out_names)[oi.expr.value - 1],
                                  oi.descending))
                 else:
-                    raise BindError(
-                        "ORDER BY must reference output columns (use an "
-                        "alias for expressions)")
-            return P.OrderBy(plan, keys, limit=stmt.limit)
+                    # ORDER BY <expression over output columns>: compute a
+                    # hidden sort column, drop it after the sort
+                    def resolver(ref, _names=out_names):
+                        if ref.name in _names:
+                            return ref.name
+                        raise BindError(
+                            f"ORDER BY expression references {ref.name}, "
+                            f"which is not an output column")
+                    e = self.to_expr(oi.expr, Scope([], None),
+                                     resolver=resolver)
+                    h = self._gen("ob")
+                    hidden[h] = e
+                    keys.append((h, oi.descending))
+            if hidden:
+                plan = P.Project(plan, hidden, keep_input=True)
+            plan = P.OrderBy(plan, keys, limit=stmt.limit)
+            if hidden:
+                plan = P.Project(plan, {n: n for n in out_names})
+            return plan
         if stmt.limit is not None:
             return P.Limit(plan, stmt.limit)
         return plan
@@ -1578,6 +1628,9 @@ class Binder:
             e = rec(node.child)
             if node.target in ("double", "float", "real", "float8"):
                 return e.cast_double()
+            if node.target in ("integer", "int", "int4", "bigint", "int8",
+                               "smallint", "tinyint", "hugeint"):
+                return E.CastInt(e)
             return e
         if isinstance(node, A.SubqueryExpr):
             raise BindError("scalar subquery must be a comparison operand "

@@ -76,7 +76,7 @@ def tokenize(sql: str) -> list[Token]:
             out.append(Token(kind, word.lower() if kind == "kw" else word, i))
             i = j
             continue
-        for op in ("<>", "<=", ">=", "!=", "||"):
+        for op in ("<>", "<=", ">=", "!=", "||", "::"):
             if sql.startswith(op, i):
                 out.append(Token("op", op, i))
                 i += 2

@@ -118,6 +118,10 @@ class Parser:
             using_default = "cubit"
         if kind == "table":
             name = self._ident()
+            if self._at_word("as"):
+                self.next()
+                select = self.parse_select()
+                return A.CreateTableAs(name, select)
             self.expect("op", "(")
             cols = [self.parse_column_def()]
             while self.accept("op", ","):
@@ -366,12 +370,27 @@ class Parser:
             return A.TableRef(name="", alias=alias_t.value if alias_t else None,
                               subquery=sub, column_aliases=col_aliases)
         name = self.expect("ident").value
+        func_args = None
+        if self.accept("op", "("):       # table function: range(1, 10)
+            func_args = []
+            if not self.accept("op", ")"):
+                func_args.append(self.parse_expr())
+                while self.accept("op", ","):
+                    func_args.append(self.parse_expr())
+                self.expect("op", ")")
         alias = None
         if self.accept("kw", "as"):
             alias = self.expect("ident").value
         elif self.peek().kind == "ident":
             alias = self.next().value
-        return A.TableRef(name=name, alias=alias)
+        col_aliases = None
+        if alias is not None and self.accept("op", "("):
+            col_aliases = [self.expect("ident").value]
+            while self.accept("op", ","):
+                col_aliases.append(self.expect("ident").value)
+            self.expect("op", ")")
+        return A.TableRef(name=name, alias=alias,
+                          column_aliases=col_aliases, func_args=func_args)
 
     def parse_select_item(self) -> A.SelectItem:
         if self.peek().kind == "op" and self.peek().value == "*":
@@ -481,7 +500,17 @@ class Parser:
         if self.accept("op", "-"):
             return A.UnaryOp("-", self.parse_unary())
         self.accept("op", "+")
-        return self.parse_primary()
+        e = self.parse_primary()
+        # postfix :: casts (expr::TYPE, duckdb/postgres shorthand)
+        while self.accept("op", "::"):
+            t = self.next()
+            if t.kind not in ("ident", "kw"):
+                raise ParseError(f"expected type after :: at {t.pos}")
+            if self.accept("op", "("):      # DECIMAL(18, 3) style params
+                while not self.accept("op", ")"):
+                    self.next()
+            e = A.CastExpr(e, t.value.lower())
+        return e
 
     def parse_primary(self):
         t = self.peek()

@@ -118,6 +118,34 @@ def execute_statement(conn, stmt):
         conn.catalog.register(from_numpy(stmt.name, data, schema))
         return f"CREATE TABLE {stmt.name}", []
 
+    if isinstance(stmt, A.CreateTableAs):
+        if stmt.name in conn.catalog.tables:
+            raise StatementError(f"table {stmt.name} already exists")
+        rel = conn.executor.execute(conn.binder.bind(stmt.select))
+        mask = np.asarray(rel.mask)
+        data, schema, nullmasks = {}, {}, {}
+        for cname, c in rel.columns.items():
+            arr = np.asarray(c.array)[mask]
+            if c.valid is not None:
+                nm = ~np.asarray(c.valid)[mask]
+                if nm.any():
+                    nullmasks[cname] = nm
+            if c.dictionary is not None:
+                data[cname] = np.asarray(c.dictionary)[arr]
+            else:
+                data[cname] = arr
+                schema[cname] = c.dtype
+        t = from_numpy(stmt.name, data, schema or None)
+        import jax.numpy as jnp
+        for cname, nm in nullmasks.items():
+            col = t.columns[cname]
+            col.nulls_host = nm
+            dev = np.zeros(t.capacity, bool)
+            dev[: len(nm)] = nm
+            col.nulls = jnp.asarray(dev)
+        conn.catalog.register(t)
+        return f"CREATE TABLE {stmt.name} AS ({t.num_rows} rows)", []
+
     if isinstance(stmt, A.CreateIndex):
         table = conn.catalog.table(stmt.table)
         col = table.columns[stmt.column]

@@ -85,10 +85,27 @@ def append_rows(table: Table, rows: dict[str, np.ndarray],
                 remapped_dict_cols.append(name)
             codes = np.searchsorted(
                 merged, vals_b.astype(f"S{width}")).astype(np.int32)
-            host_new = codes
-            dev_new = jnp.asarray(codes)
+            dt = np.dtype(col.data.dtype)
+            if dt.kind == "i" and dt.itemsize < 4 and \
+                    len(merged) >= np.iinfo(dt).max:
+                col.data = col.data.astype(jnp.int32)
+                if col.host is not None:
+                    col.host = col.host.astype(np.int32)
+            host_new = codes.astype(col.data.dtype)
+            dev_new = jnp.asarray(host_new)
         else:
-            host_new = np.asarray(vals, dtype=col.data.dtype)
+            vals_np = np.asarray(vals)
+            dt = np.dtype(col.data.dtype)
+            if dt.kind == "i" and dt.itemsize < 8 and vals_np.size:
+                info = np.iinfo(dt)
+                v64 = vals_np.astype(np.int64)
+                if int(v64.max()) >= info.max or int(v64.min()) <= info.min:
+                    # narrowed storage can't hold the appended values:
+                    # widen the column back (bitpack-codec invariant)
+                    col.data = col.data.astype(jnp.int64)
+                    if col.host is not None:
+                        col.host = col.host.astype(np.int64)
+            host_new = vals_np.astype(col.data.dtype)
             dev_new = jnp.asarray(host_new)
         if col.host is not None:
             col.host = np.concatenate([col.host, host_new])

@@ -190,6 +190,7 @@ def from_numpy(
         if schema and col_name in schema:
             dtype = schema[col_name]
         dev_np = _narrow_decimal(dev_np, dtype, num_rows)
+        dev_np = _narrow_int(dev_np, dtype, num_rows)
         padded = np.empty(capacity, dtype=dev_np.dtype)
         padded[:num_rows] = dev_np
         # pad with the LAST value: masked everywhere, keeps zone maps as
@@ -229,6 +230,38 @@ def _ingest_sorted(dev_np: np.ndarray, dtype: DataType,
         return False
     a = dev_np[:num_rows]
     return bool(np.all(a[1:] >= a[:-1]))
+
+
+def _narrow_int(dev_np: np.ndarray, dtype: DataType,
+                num_rows: int) -> np.ndarray:
+    """Store integer-backed columns at the narrowest signed width that
+    holds their value range (int8/int16/int32).
+
+    The per-column analog of the reference's bitpack-to-narrowest codec
+    (reference src/storage/compression/bitpacking.cpp, chosen by the
+    analyze step): TPC-H keys, dates, small decimals (discount/tax/
+    linenumber) and dictionary codes all narrow, cutting lineitem's HBM
+    footprint >2x.  The LOGICAL type is unchanged; consumers widen on
+    use, and XLA fuses the widening into the consuming op so decode rides
+    the scan for free (the engine's exact-sum kernels already promote
+    through an explicit int64 identity).  Value-preserving only — no
+    offset/delta encoding — so every kernel sees true values.  DML
+    appends that exceed the range widen the column back
+    (storage/dml.py)."""
+    if dtype.id not in (TypeId.INT64, TypeId.INT32, TypeId.DATE,
+                        TypeId.DECIMAL, TypeId.VARCHAR) or not num_rows:
+        return dev_np
+    if dev_np.dtype.kind != "i":
+        return dev_np
+    lo = int(dev_np[:num_rows].min())
+    hi = int(dev_np[:num_rows].max())
+    for cand in (np.int8, np.int16, np.int32):
+        info = np.iinfo(cand)
+        # strict bounds: leave one headroom value so sentinels like
+        # min/max identities in aggregate kernels can never collide
+        if info.min < lo and hi < info.max and                 np.dtype(cand).itemsize < dev_np.dtype.itemsize:
+            return dev_np.astype(cand)
+    return dev_np
 
 
 def _narrow_decimal(dev_np: np.ndarray, dtype: DataType,
@@ -280,6 +313,7 @@ def from_encoded(name: str, cols: dict[str, dict],
         if schema and col_name in schema:
             dtype = schema[col_name]
         dev_np = _narrow_decimal(dev_np, dtype, num_rows)
+        dev_np = _narrow_int(dev_np, dtype, num_rows)
         padded = np.empty(capacity, dtype=dev_np.dtype)
         padded[:num_rows] = dev_np
         padded[num_rows:] = dev_np[num_rows - 1] if num_rows else 0

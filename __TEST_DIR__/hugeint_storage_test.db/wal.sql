@@ -1,1 +1,2 @@
 CREATE TABLE hugeints (h HUGEINT);;
+CREATE TABLE hugeints (h HUGEINT);;

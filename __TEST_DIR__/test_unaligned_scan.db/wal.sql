@@ -1,0 +1,4 @@
+CREATE TABLE test (a INTEGER, b VARCHAR);;
+INSERT INTO test VALUES (NULL, 'hello'), (13, 'abcdefgh'), (12, NULL);
+CREATE TABLE test (a INTEGER, b VARCHAR);;
+INSERT INTO test VALUES (NULL, 'hello'), (13, 'abcdefgh'), (12, NULL);

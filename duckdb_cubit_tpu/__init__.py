@@ -48,7 +48,12 @@ try:
                 _flags = next((ln for ln in _f if ln.startswith("flags")), "")
         except OSError:
             _flags = ""
-        _backend_key = "cpu-" + hashlib.md5(_flags.encode()).hexdigest()[:10]
+        # salt with the jax version: XLA adds synthetic machine features
+        # (prefer-no-gather etc.) that vary across builds and are not in
+        # /proc/cpuinfo — stale entries trigger cpu_aot_loader mismatch
+        # warnings and risk SIGILL
+        _backend_key = "cpu-" + hashlib.md5(
+            (_flags + jax.__version__ + "v2").encode()).hexdigest()[:10]
     _cache_dir = os.path.join(_cache_dir, _backend_key)
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -379,14 +379,16 @@ def _code_truth_table(col: Typed, match_fn, cache_key=None) -> jnp.ndarray:
     assert d is not None
     if cache_key is not None:
         key = (id(d), len(d), cache_key)
-        hit = _TRUTH_CACHE.get(key)
-        if hit is not None:
-            return hit[col.array]
+        table = _TRUTH_CACHE.get(key)
+        if table is None:
+            # cache the HOST array: a device constant created inside a
+            # trace is a tracer and must never outlive the trace
+            table = np.asarray(match_fn(d), dtype=np.bool_)
+            if len(_TRUTH_CACHE) >= _TRUTH_CACHE_LIMIT:
+                _TRUTH_CACHE.pop(next(iter(_TRUTH_CACHE)))
+            _TRUTH_CACHE[key] = table
+        return jnp.asarray(table)[col.array]
     table = jnp.asarray(np.asarray(match_fn(d), dtype=np.bool_))
-    if cache_key is not None:
-        if len(_TRUTH_CACHE) >= _TRUTH_CACHE_LIMIT:
-            _TRUTH_CACHE.pop(next(iter(_TRUTH_CACHE)))
-        _TRUTH_CACHE[key] = table
     return table[col.array]
 
 

@@ -162,6 +162,8 @@ class SelectStmt:
     order_by: list[OrderItem]
     limit: int | None
     distinct: bool = False
+    # non-recursive WITH ctes: list of (name, column_aliases|None, SelectStmt)
+    ctes: list | None = None
 
 
 # ------------------------------------------------------- DDL/DML statements

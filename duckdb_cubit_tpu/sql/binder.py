@@ -380,6 +380,25 @@ class Binder:
     # ----------------------------------------------------------- SELECT
     def _bind_select(self, stmt: A.SelectStmt,
                      outer: Scope | None) -> Bound:
+        pushed = 0
+        if getattr(stmt, "ctes", None):
+            # non-recursive WITH: each CTE is a named derived table,
+            # visible to later CTEs and the main query (inlined per
+            # reference; no materialization sharing)
+            if not hasattr(self, "_ctes"):
+                self._ctes = {}
+            for name, cols, sub in stmt.ctes:
+                self._ctes[name] = (cols, sub)
+                pushed += 1
+        try:
+            return self._bind_select_inner(stmt, outer)
+        finally:
+            if pushed:
+                for name, _, _ in stmt.ctes:
+                    self._ctes.pop(name, None)
+
+    def _bind_select_inner(self, stmt: A.SelectStmt,
+                           outer: Scope | None) -> Bound:
         if not stmt.tables:
             return self._bind_fromless(stmt, outer)
         refs = _collect_colrefs(stmt)
@@ -445,6 +464,14 @@ class Binder:
             if getattr(ref, "func_args", None) is not None:
                 sources.append(self._bind_table_function(ref, jt, cond))
                 continue
+            cte = getattr(self, "_ctes", {}).get(ref.name) \
+                if ref.subquery is None else None
+            if cte is not None:
+                cols, sub = cte
+                import dataclasses as _dc
+                ref = _dc.replace(ref, subquery=sub, name="",
+                                  alias=ref.alias or ref.name,
+                                  column_aliases=ref.column_aliases or cols)
             if ref.subquery is not None:
                 b = self._bind_select(ref.subquery, None)
                 alias = ref.alias or self._gen("dt")

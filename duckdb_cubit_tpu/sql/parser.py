@@ -62,7 +62,7 @@ class Parser:
         mirror the reference's src/parser/statement/ set)."""
         t = self.peek()
         w = t.value.lower() if t.kind in ("kw", "ident") else ""
-        if w == "select":
+        if w in ("select", "with"):
             return self.parse()
         dispatch = {
             "create": self.parse_create,
@@ -276,6 +276,25 @@ class Parser:
         return A.PragmaStmt(name, args)
 
     def parse_select(self) -> A.SelectStmt:
+        ctes = None
+        if self._at_word("with"):
+            self.next()
+            ctes = []
+            while True:
+                name = self._ident()
+                cols = None
+                if self.accept("op", "("):
+                    cols = [self._ident()]
+                    while self.accept("op", ","):
+                        cols.append(self._ident())
+                    self.expect("op", ")")
+                self._word("as")
+                self.expect("op", "(")
+                sub = self.parse_select()
+                self.expect("op", ")")
+                ctes.append((name, cols, sub))
+                if not self.accept("op", ","):
+                    break
         self.expect("kw", "select")
         distinct = bool(self.accept("kw", "distinct"))
         items = [self.parse_select_item()]
@@ -314,7 +333,7 @@ class Parser:
         if self.accept("kw", "limit"):
             limit = int(self.expect("number").value)
         return A.SelectStmt(items, tables, where, group_by, having,
-                            order_by, limit, distinct)
+                            order_by, limit, distinct, ctes=ctes)
 
     def parse_join_suffix(self, tables: list) -> bool:
         """INNER/LEFT/RIGHT/FULL/ASOF JOIN t ON cond — the ON condition

@@ -310,6 +310,14 @@ def run_script(text: str, conn=None, path: str = "<script>",
     features = features if features is not None else _default_features()
     report = Report(path=path)
     skipping = False
+    # the reference corpus parameterizes persistent-db paths with
+    # __TEST_DIR__; give each script run a fresh temp dir so files are
+    # hermetic (reference sqllogic_test_runner.cpp TestDirectoryPath)
+    if "__TEST_DIR__" in text:
+        import tempfile
+
+        tdir = tempfile.mkdtemp(prefix="sqllogic_")
+        text = text.replace("__TEST_DIR__", tdir)
     lines = text.splitlines()
     for block in _parse_blocks(lines):
         rec = _parse_record(block)

@@ -1105,6 +1105,31 @@ class Binder:
                                 "(wrap the aggregate in a subquery)")
             plan = self._bind_windows(plan, scope, win_found)
             win_names = {gen for _, gen in win_found}
+        # UNCORRELATED scalar subqueries in the SELECT list: each becomes
+        # one BroadcastScalar column (reference: uncorrelated subquery
+        # flattening); correlated ones still need the WHERE-side rewrite
+        sq_nodes: list = []
+
+        def _find_sq(n):
+            if isinstance(n, A.SubqueryExpr):
+                sq_nodes.append(n)
+        for it in items:
+            _walk_ast(it.expr, _find_sq, into_selects=False)
+        if sq_nodes and not has_agg:
+            self._sq_cols = getattr(self, "_sq_cols", {})
+            for node in sq_nodes:
+                _, corr, _, _ = self._analyze_subquery(node.query, scope)
+                if corr:
+                    continue
+                sub = self._bind_select(node.query, None)
+                if len(sub.out_names) != 1 or \
+                        not self._is_scalar_stmt(node.query):
+                    continue
+                gen = self._gen("ssq")
+                plan = P.BroadcastScalar(plan, sub.plan,
+                                         {gen: sub.out_names[0]})
+                self._sq_cols[id(node)] = gen
+                win_names.add(gen)
         if not has_agg:
             def _resolver(ref: A.ColumnRef):
                 if ref.table is None and ref.name in win_names:
@@ -1660,6 +1685,9 @@ class Binder:
                 return E.CastInt(e)
             return e
         if isinstance(node, A.SubqueryExpr):
+            gen = getattr(self, "_sq_cols", {}).get(id(node))
+            if gen is not None:
+                return E.Col(gen)
             raise BindError("scalar subquery must be a comparison operand "
                             "in WHERE/HAVING")
         if isinstance(node, A.ExistsExpr):

@@ -1328,6 +1328,12 @@ class GroupAggregate(PhysicalOperator):
             return
         table, cols, maxes = info["table"], info["cols"], info["maxes"]
         arrays = [table.columns[cn].data for cn in cols]
+        # narrowed storage (int8/int16 bitpack codec) widens to the
+        # kernel's int32 lane format at PREPARE time — a one-time copy,
+        # off the execution hot path
+        arrays = [a.astype(jnp.int32)
+                  if a.dtype in (jnp.int8, jnp.int16) else a
+                  for a in arrays]
         if any(a.dtype != jnp.int32 for a in arrays):
             return
         # pack two columns into one int32 stream when ranges allow

@@ -1209,14 +1209,19 @@ class Binder:
         aggs: list[P.Aggregate] = []
         post_exprs: dict[str, E.Expr] = {}
         extra_cols: set[str] = set()
+        having_post = None
+        lifted: list[tuple[str, A.SelectStmt]] = []
         for i, item in enumerate(items):
             name = item.alias or _default_name(item.expr, i)
             if name in post_exprs:
                 raise BindError(f"duplicate output column {name}")
+            # scalar subqueries in SELECT items of an aggregate query are
+            # lifted to BroadcastScalar columns on the aggregate output
+            # (same path HAVING subqueries use)
+            item_ast = self._replace_subqueries(item.expr, lifted)
+            extra_cols |= {gen for gen, _ in lifted}
             post_exprs[name] = self._bind_post_expr(
-                item.expr, scope, aggs, group_out, extra_cols)
-        having_post = None
-        lifted: list[tuple[str, A.SelectStmt]] = []
+                item_ast, scope, aggs, group_out, extra_cols)
         if stmt.having is not None:
             having_ast = self._replace_subqueries(stmt.having, lifted)
             extra_cols |= {gen for gen, _ in lifted}

@@ -105,6 +105,7 @@ class Executor:
     CACHE_LIMIT = 256
     # operator attributes produced by prepare() (host shape decisions)
     _PREP_ATTRS = ("_words", "_decode_cap", "_mask8", "_pk", "_reverse_pk",
+                   "_vlut_cols",
                    "_fk_dense", "_pallas")
 
     def __init__(self, catalog, config=None):
@@ -293,8 +294,19 @@ class Executor:
             elif isinstance(op, HashJoin) and (
                     getattr(op, "_pk", None) or getattr(op, "_reverse_pk", None)):
                 base, col, _ = op._pk or op._reverse_pk
+                pkidx = self.catalog.table(base).pk_indexes[col]
                 spec.append((op, "pk_lut", None))
-                arrays.append(self.catalog.table(base).pk_indexes[col].lut)
+                arrays.append(pkidx.lut)
+                if op._pk is not None:
+                    table = self.catalog.table(base)
+                    for cname in getattr(op, "_vlut_cols", ()):
+                        c = table.columns.get(cname)
+                        if c is None:
+                            continue
+                        host = c.host if c.host is not None else \
+                            np.asarray(c.data)
+                        spec.append((op, "vlut", cname))
+                        arrays.append(pkidx.device_value_lut(cname, host))
             elif isinstance(op, GroupAggregate):
                 if getattr(op, "_fk_dense", None):
                     pk_table, pk_col, _, _ = op._fk_dense
@@ -338,6 +350,8 @@ class Executor:
                         slot["cols"][name] = arr
                     elif kind == "colnull":
                         slot.setdefault("colnulls", {})[name] = arr
+                    elif kind == "vlut":
+                        slot.setdefault("vlut", {})[name] = arr
                     else:
                         slot[kind] = arr
                 rel = plan_ref.execute(ctx)
@@ -883,6 +897,8 @@ class Executor:
                         slot["cols"][name] = arr
                     elif kind == "colnull":
                         slot.setdefault("colnulls", {})[name] = arr
+                    elif kind == "vlut":
+                        slot.setdefault("vlut", {})[name] = arr
                     else:
                         slot[kind] = arr
                 for c, (names, metas, cap) in zip(bound_ops, bmeta):

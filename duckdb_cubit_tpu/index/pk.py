@@ -20,6 +20,26 @@ class DirectPKIndex:
         self.column = column
         self.lut = lut          # (max_key+1,) int32 row id, -1 = absent
         self.max_key = max_key
+        # per-column VALUE luts in key space: vlut[slot] = column[lut[slot]]
+        # (0 where absent — callers mask by `found`).  Lets the Pallas
+        # monotone probe kernel fetch build VALUES directly, replacing one
+        # ~134 Mrow/s XLA gather per column with a ~1.3 Grow/s kernel pass.
+        # Cached on this object: DML rebuilds the index, so entries can
+        # never go stale.
+        self._value_luts: dict = {}
+        self._lut_host: np.ndarray | None = None
+
+    def device_value_lut(self, name: str, host_col: np.ndarray):
+        """Device int32 value-lut for a base column (host-built once)."""
+        v = self._value_luts.get(name)
+        if v is None:
+            if self._lut_host is None:
+                self._lut_host = np.asarray(self.lut)
+            lh = self._lut_host
+            vals = np.asarray(host_col)[np.maximum(lh, 0)].astype(np.int32)
+            vals[lh < 0] = 0
+            v = self._value_luts[name] = jnp.asarray(vals)
+        return v
 
     @classmethod
     def build(cls, column: str, keys: np.ndarray, num_rows: int,

@@ -626,6 +626,7 @@ class HashJoin(PhysicalOperator):
                 pk = table.pk_indexes.get(self.build_keys[0])
                 if pk is not None:
                     self._pk = (base, self.build_keys[0], pk.max_key)
+                    self._vlut_cols = self._pick_vlut_cols(ctx, table)
         if (self._pk is None and self.join_type in ("semi", "anti")
                 and len(self.probe_keys) == 1):
             # reverse semi-join: the PROBE side owns the PK (orders EXISTS
@@ -637,6 +638,26 @@ class HashJoin(PhysicalOperator):
                 pk = table.pk_indexes.get(self.probe_keys[0])
                 if pk is not None:
                     self._reverse_pk = (base, self.probe_keys[0], pk.max_key)
+
+    def _pick_vlut_cols(self, ctx, table) -> list[str]:
+        """Build columns eligible for kernel value-lut fetch: int-backed
+        (<= int32 storage), no base NULLs, not the key itself (a matched
+        row's key IS the probe key)."""
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return []
+        out = []
+        for name, c in table.columns.items():
+            if name == self.build_keys[0]:
+                continue
+            if getattr(c, "nulls", None) is not None:
+                continue
+            if np.dtype(c.data.dtype).kind != "i" or \
+                    np.dtype(c.data.dtype).itemsize > 4:
+                continue
+            out.append(name)
+        return out
 
     def _pk_probe(self, ctx, probe_rel, build_rel):
         base, col, max_key = self._pk
@@ -667,12 +688,12 @@ class HashJoin(PhysicalOperator):
             row, ovf = PPK.monotone_gather(lut_eff, kc)
             ctx.add_check(self, "pkprobe", ovf == 0)
             found = in_range & (row >= 0)
-            return jnp.where(found, row, -1), found
+            return jnp.where(found, row, -1), found, kc
         row = lut[jnp.clip(k, 0, max_key)]
         present = row >= 0
         alive = build_rel.mask[jnp.maximum(row, 0)]
         found = in_range & present & alive
-        return jnp.where(found, row, -1), found
+        return jnp.where(found, row, -1), found, None
 
     def _kernel_probe_eligible(self, ctx, kcol, probe_rel, max_key,
                                build_rel) -> bool:
@@ -716,11 +737,13 @@ class HashJoin(PhysicalOperator):
                                   bkey)
         if self._pk is not None and not ctx.verify_mode and (
                 self.single_match or self.join_type in ("semi", "anti")):
-            build_row, found = self._pk_probe(ctx, probe_rel, build_rel)
+            build_row, found, kc = self._pk_probe(ctx, probe_rel,
+                                                  build_rel)
             if self.join_type in ("semi", "anti"):
                 m = ~found if self.join_type == "anti" else found
                 return probe_rel.with_mask(m & probe_rel.mask)
-            return self._gather_single(probe_rel, build_rel, build_row, found)
+            return self._gather_single(probe_rel, build_rel, build_row,
+                                       found, ctx=ctx, kernel_keys=kc)
         if self._reverse_pk is not None and not ctx.verify_mode:
             base, col, max_key = self._reverse_pk
             inputs = ctx.scan_inputs.get(id(self))
@@ -780,10 +803,27 @@ class HashJoin(PhysicalOperator):
         return jnp.zeros(probe_rel.capacity + 1, jnp.bool_).at[tgt].set(
             True, mode="drop")[: probe_rel.capacity]
 
-    def _gather_single(self, probe_rel, build_rel, build_row, found):
+    def _gather_single(self, probe_rel, build_rel, build_row, found,
+                       ctx=None, kernel_keys=None):
         safe = jnp.clip(build_row, 0, build_rel.capacity - 1)
         left = self.join_type == "left"
         cols = dict(probe_rel.columns)
+        vluts = {}
+        if kernel_keys is not None and ctx is not None:
+            inputs = ctx.scan_inputs.get(id(self))
+            if inputs is not None:
+                vluts = inputs.get("vlut", {})
+            else:
+                # eager path: pull the cached device luts from the index
+                base, keycol, _ = self._pk
+                table = ctx.catalog.table(base)
+                pkidx = table.pk_indexes[keycol]
+                for n in getattr(self, "_vlut_cols", ()):
+                    if n in table.columns:
+                        vluts[n] = pkidx.device_value_lut(
+                            n, table.columns[n].host
+                            if table.columns[n].host is not None
+                            else np.asarray(table.columns[n].data))
         for n, c in build_rel.columns.items():
             out_name = self.build_prefix + n
             if out_name not in cols:
@@ -792,6 +832,29 @@ class HashJoin(PhysicalOperator):
                     # unmatched probe rows see NULL build values (outer-join
                     # semantics via per-value validity)
                     v = found if v is None else (v & found)
+                if kernel_keys is not None and c.valid is None and \
+                        n == self.build_keys[0]:
+                    # matched rows' build key IS the probe key: no gather
+                    arr = kernel_keys.astype(c.array.dtype)
+                    cols[out_name] = RelColumn(arr, c.dtype, c.dictionary,
+                                               c.domain,
+                                               found if left else v)
+                    continue
+                if kernel_keys is not None and n in vluts and \
+                        c.valid is None:
+                    # build VALUE fetched by the same monotone kernel over
+                    # the key-space value lut (~9x the XLA per-element
+                    # gather); garbage at unmatched slots is masked by
+                    # `found` exactly like the row gather
+                    from ..ops import pallas_probe as PPK
+
+                    val, ovf = PPK.monotone_gather(vluts[n], kernel_keys)
+                    ctx.add_check(self, "pkprobe", ovf == 0)
+                    arr = val.astype(c.array.dtype)
+                    cols[out_name] = RelColumn(arr, c.dtype, c.dictionary,
+                                               c.domain,
+                                               found if left else None)
+                    continue
                 cols[out_name] = RelColumn(
                     jnp.take(c.array, safe, axis=0), c.dtype, c.dictionary,
                     c.domain, v)

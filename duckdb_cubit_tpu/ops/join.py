@@ -105,16 +105,44 @@ def build(keys: jnp.ndarray, valid: jnp.ndarray, num_rows_hint: int | None = Non
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def _probe_kernel(ht_keys, counts, probe_keys, probe_valid, size: int):
-    """Vectorized binary search over the ascending unique-key array.
+    """Sort-merge probe: tagged sort of (build unique keys + probe keys),
+    then a cummax carries each probe slot's last build entry.
 
-    `counts > 0` guards against a probe key equal to the padding sentinel
-    matching an empty slot (padding slots have count 0)."""
+    Replaces the binary-search probe: XLA's searchsorted lowering runs at
+    ~6.6 Mrow/s on this backend while lax.sort runs ~600 Mrow/s and
+    cummax ~2 Grow/s (measured, benchmarks/probe_primitives.py) — the
+    merge phase of a sort-merge join expressed entirely in the
+    primitives this hardware is fast at, no per-element gathers.
+
+    Sort order (key, tag) with build tag 0 < probe tag 1 puts every build
+    entry before its equal probe keys; two cummax scans then carry the
+    last VALID build entry's key and unique-index to each probe slot, and
+    a hit is simply `carried key == probe key`.  Empty padding slots
+    (count 0) are excluded from the carry, so a probe key equal to the
+    padding sentinel cannot match."""
     del size
+    m = ht_keys.shape[0]
+    n = probe_keys.shape[0]
     pk = probe_keys.astype(jnp.int64)
-    pos = jnp.searchsorted(ht_keys, pk, side="left").astype(jnp.int32)
-    safe = jnp.minimum(pos, ht_keys.shape[0] - 1)
-    hit = probe_valid & (ht_keys[safe] == pk) & (counts[safe] > 0)
-    return jnp.where(hit, safe, -1)  # index into unique arrays, -1 = miss
+    keys = jnp.concatenate([ht_keys, pk])
+    tag = jnp.concatenate([jnp.zeros(m, jnp.int8), jnp.ones(n, jnp.int8)])
+    idx = jnp.concatenate([jnp.arange(m, dtype=jnp.int32),
+                           jnp.arange(n, dtype=jnp.int32)])
+    bval = jnp.concatenate([(counts > 0), jnp.zeros(n, jnp.bool_)])
+    sk, st, si, sv = jax.lax.sort((keys, tag, idx, bval), num_keys=2)
+    is_build = (st == 0) & sv
+    # keys are ascending, so a running max of build-slot keys IS the last
+    # valid build key at or before each position (likewise its index)
+    lo64 = jnp.int64(-(2**63))
+    bkey_run = jax.lax.cummax(jnp.where(is_build, sk, lo64))
+    bidx_run = jax.lax.cummax(jnp.where(is_build, si, -1))
+    hit = (bkey_run == sk) & (st == 1)
+    entry_sorted = jnp.where(hit, bidx_run, -1)
+    # scatter back to probe order (scatter: ~580 Mrow/s)
+    target = jnp.where(st == 1, si, jnp.int32(n))
+    out = jnp.full(n + 1, -1, jnp.int32).at[target].set(
+        entry_sorted, mode="drop")[:n]
+    return jnp.where(probe_valid, out, -1)
 
 
 def probe(bs: BuildSide, probe_keys: jnp.ndarray, probe_valid: jnp.ndarray):
